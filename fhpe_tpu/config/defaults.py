@@ -1,0 +1,209 @@
+"""Default config schema.
+
+Key names, nesting, and default values follow the reference schema
+(``lib/config/default.py:18-134`` and ``lib/config/models.py:15-58``) so that
+the reference's ``experiments/**.yaml`` files load unchanged.  Keys the
+reference uses to control CUDA/cuDNN are kept (accepted, ignored) for YAML
+compatibility; TPU-specific knobs live under the new ``TPU`` section.
+
+Conventions preserved from the reference:
+* ``MODEL.IMAGE_SIZE`` / ``HEATMAP_SIZE`` are ``[width, height]``
+  (``lib/config/default.py:44-45``).
+* ``KD.TRAIN_TYPE`` in {'NORMAL', 'FPD'}; ``KD.ALPHA`` is the distillation
+  mixing weight (``lib/config/default.py:123-126``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .node import CfgNode
+
+
+def _base() -> CfgNode:
+    c = CfgNode()
+
+    c.OUTPUT_DIR = ""
+    c.LOG_DIR = ""
+    c.DATA_DIR = ""
+    c.GPUS = (0,)  # accepted for YAML compat; device count comes from jax.devices()
+    c.WORKERS = 4
+    c.PRINT_FREQ = 20
+    c.AUTO_RESUME = False
+    c.PIN_MEMORY = True
+    c.RANK = 0
+
+    # Accepted-and-ignored CUDA knobs (reference lib/config/default.py:31-34).
+    c.CUDNN = CfgNode()
+    c.CUDNN.BENCHMARK = True
+    c.CUDNN.DETERMINISTIC = False
+    c.CUDNN.ENABLED = True
+
+    # TPU-native knobs (new).
+    c.TPU = CfgNode()
+    c.TPU.COMPUTE_DTYPE = "bfloat16"  # MXU-native compute; params stay f32
+    c.TPU.MESH_AXIS = "data"          # 1-D data-parallel mesh axis name
+    c.TPU.NUM_DEVICES = -1            # -1 = use all visible devices
+    c.TPU.DONATE = True               # donate train-state buffers to the step
+    c.TPU.DEVICE_PREPROCESS = True    # fused on-device warp + target generation
+
+    c.MODEL = CfgNode()
+    c.MODEL.NAME = "pose_hrnet"
+    c.MODEL.INIT_WEIGHTS = True
+    c.MODEL.PRETRAINED = ""
+    c.MODEL.NUM_JOINTS = 17
+    c.MODEL.TAG_PER_JOINT = True
+    c.MODEL.TARGET_TYPE = "gaussian"
+    c.MODEL.IMAGE_SIZE = [256, 256]  # width, height
+    c.MODEL.HEATMAP_SIZE = [64, 64]  # width, height
+    c.MODEL.SIGMA = 2
+    c.MODEL.EXTRA = CfgNode(new_allowed=True)
+
+    c.LOSS = CfgNode()
+    c.LOSS.USE_OHKM = False
+    c.LOSS.TOPK = 8
+    c.LOSS.USE_TARGET_WEIGHT = True
+    c.LOSS.USE_DIFFERENT_JOINTS_WEIGHT = False
+
+    c.DATASET = CfgNode()
+    c.DATASET.ROOT = ""
+    c.DATASET.DATASET = "mpii"
+    c.DATASET.TRAIN_SET = "train"
+    c.DATASET.TEST_SET = "valid"
+    c.DATASET.DATA_FORMAT = "jpg"
+    c.DATASET.HYBRID_JOINTS_TYPE = ""
+    c.DATASET.SELECT_DATA = False
+    c.DATASET.FLIP = True
+    c.DATASET.SCALE_FACTOR = 0.25
+    c.DATASET.ROT_FACTOR = 30
+    c.DATASET.PROB_HALF_BODY = 0.0
+    c.DATASET.NUM_JOINTS_HALF_BODY = 8
+    c.DATASET.COLOR_RGB = False
+    c.DATASET.CACHE_ROOT = "data/cache"
+
+    c.TRAIN = CfgNode()
+    c.TRAIN.LR_FACTOR = 0.1
+    c.TRAIN.LR_STEP = [90, 110]
+    c.TRAIN.LR = 0.001
+    c.TRAIN.OPTIMIZER = "adam"
+    c.TRAIN.MOMENTUM = 0.9
+    c.TRAIN.WD = 0.0001
+    c.TRAIN.NESTEROV = False
+    c.TRAIN.GAMMA1 = 0.99
+    c.TRAIN.GAMMA2 = 0.0
+    c.TRAIN.BEGIN_EPOCH = 0
+    c.TRAIN.END_EPOCH = 140
+    c.TRAIN.RESUME = False
+    c.TRAIN.CHECKPOINT = ""
+    c.TRAIN.BATCH_SIZE_PER_GPU = 32
+    c.TRAIN.SHUFFLE = True
+
+    c.TEST = CfgNode()
+    c.TEST.BATCH_SIZE_PER_GPU = 32
+    c.TEST.FLIP_TEST = False
+    c.TEST.POST_PROCESS = False
+    c.TEST.SHIFT_HEATMAP = False
+    c.TEST.USE_GT_BBOX = False
+    c.TEST.IMAGE_THRE = 0.1
+    c.TEST.NMS_THRE = 0.6
+    c.TEST.SOFT_NMS = False
+    c.TEST.OKS_THRE = 0.5
+    c.TEST.IN_VIS_THRE = 0.0
+    c.TEST.COCO_BBOX_FILE = ""
+    c.TEST.BBOX_THRE = 1.0
+    c.TEST.MODEL_FILE = ""
+
+    c.KD = CfgNode()
+    c.KD.TRAIN_TYPE = "NORMAL"  # 'FPD' enables teacher->student distillation
+    c.KD.TEACHER = ""
+    c.KD.ALPHA = 0.5
+
+    c.DEBUG = CfgNode()
+    c.DEBUG.DEBUG = False
+    c.DEBUG.SAVE_BATCH_IMAGES_GT = False
+    c.DEBUG.SAVE_BATCH_IMAGES_PRED = False
+    c.DEBUG.SAVE_HEATMAPS_GT = False
+    c.DEBUG.SAVE_HEATMAPS_PRED = False
+
+    return c
+
+
+# Per-architecture EXTRA defaults (reference lib/config/models.py:55-58).
+def _pose_resnet_extra() -> CfgNode:
+    e = CfgNode(new_allowed=True)
+    e.NUM_LAYERS = 50
+    e.DECONV_WITH_BIAS = False
+    e.NUM_DECONV_LAYERS = 3
+    e.NUM_DECONV_FILTERS = [256, 256, 256]
+    e.NUM_DECONV_KERNELS = [4, 4, 4]
+    e.FINAL_CONV_KERNEL = 1
+    e.PRETRAINED_LAYERS = ["*"]
+    return e
+
+
+def _pose_hrnet_extra() -> CfgNode:
+    e = CfgNode(new_allowed=True)
+    e.PRETRAINED_LAYERS = ["*"]
+    e.STEM_INPLANES = 64
+    e.FINAL_CONV_KERNEL = 1
+    for name, (branches, channels) in {
+        "STAGE2": (2, [32, 64]),
+        "STAGE3": (3, [32, 64, 128]),
+        "STAGE4": (4, [32, 64, 128, 256]),
+    }.items():
+        s = CfgNode()
+        s.NUM_MODULES = 1
+        s.NUM_BRANCHES = branches
+        s.NUM_BLOCKS = [4] * branches
+        s.NUM_CHANNELS = channels
+        s.BLOCK = "BASIC"
+        s.FUSE_METHOD = "SUM"
+        e[name] = s
+    return e
+
+
+def _hourglass_extra() -> CfgNode:
+    e = CfgNode(new_allowed=True)
+    e.NUM_FEATURES = 256
+    e.NUM_STACKS = 8
+    e.NUM_BLOCKS = 1
+    return e
+
+
+MODEL_EXTRAS = {
+    "pose_resnet": _pose_resnet_extra,
+    "pose_hrnet": _pose_hrnet_extra,
+    "pose_high_resolution_net": _pose_hrnet_extra,
+    "hourglass": _hourglass_extra,
+}
+
+
+def get_default_config() -> CfgNode:
+    return _base()
+
+
+def load_config(cfg_file: str, opts: list | None = None,
+                model_dir: str = "", log_dir: str = "", data_dir: str = "") -> CfgNode:
+    """defaults < YAML file < CLI overrides, then path joins + freeze.
+
+    Mirrors ``update_config`` (reference lib/config/default.py:137-164).
+    """
+    cfg = get_default_config()
+    cfg.merge_from_file(cfg_file)
+    if opts:
+        cfg.merge_from_list(list(opts))
+
+    if model_dir:
+        cfg.OUTPUT_DIR = model_dir
+    if log_dir:
+        cfg.LOG_DIR = log_dir
+    if data_dir:
+        cfg.DATA_DIR = data_dir
+
+    cfg.DATASET.ROOT = os.path.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
+    cfg.MODEL.PRETRAINED = os.path.join(cfg.DATA_DIR, cfg.MODEL.PRETRAINED)
+    if cfg.TEST.MODEL_FILE:
+        cfg.TEST.MODEL_FILE = os.path.join(cfg.DATA_DIR, cfg.TEST.MODEL_FILE)
+
+    cfg.freeze()
+    return cfg

@@ -1,0 +1,108 @@
+"""Affine-transform geometry for top-down pose cropping.
+
+Reimplements (from behavior, not code) the crop geometry of the reference's
+``lib/utils/transforms.py:49-110``: a person box given as (center, scale,
+rotation) maps to a fixed-size network input via an affine transform built
+from a 3-point correspondence.  The reference delegates the final solve to
+``cv2.getAffineTransform``; here it is a closed-form 3x3 linear solve so the
+function is dependency-free and batch/JIT-friendly.  Parity with cv2 is
+pinned by tests (tests/test_geometry.py).
+
+Conventions (identical to the reference):
+* ``scale`` is in units of 200 px (``pixel_std``): box side = scale * 200.
+* ``output_size`` is (width, height).
+* rotation is in degrees, counter-clockwise about the box center.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rotate(point: np.ndarray, rad: float) -> np.ndarray:
+    sn, cs = np.sin(rad), np.cos(rad)
+    return np.array([point[0] * cs - point[1] * sn,
+                     point[0] * sn + point[1] * cs], dtype=np.float64)
+
+
+def _third_point(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Third corner completing a right triangle: b + perp(a - b)."""
+    d = a - b
+    return b + np.array([-d[1], d[0]], dtype=np.float64)
+
+
+def _solve_affine(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """2x3 affine T with T @ [src_i, 1]^T = dst_i for three point pairs."""
+    a = np.concatenate([src, np.ones((3, 1))], axis=1)  # (3, 3)
+    return np.linalg.solve(a, dst).T.astype(np.float64)  # (2, 3)
+
+
+def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0), inv=False):
+    """Affine matrix mapping the (center, scale, rot) person box to output pixels.
+
+    Matches the reference construction (``lib/utils/transforms.py:57-89``):
+    correspondence points are the box center, a point half a box-width above
+    it (rotated by ``rot``), and the perpendicular third point; the source
+    box width is ``scale[0] * 200``.  ``inv=True`` returns the output->source
+    transform (used to map predictions back to original image coordinates).
+    """
+    center = np.asarray(center, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    if scale.ndim == 0:
+        scale = np.array([float(scale), float(scale)])
+    shift = np.asarray(shift, dtype=np.float64)
+
+    box = scale * 200.0
+    src_w = box[0]
+    dst_w, dst_h = float(output_size[0]), float(output_size[1])
+
+    rot_rad = np.pi * rot / 180.0
+    src_dir = _rotate(np.array([0.0, src_w * -0.5]), rot_rad)
+    dst_dir = np.array([0.0, dst_w * -0.5])
+
+    src = np.zeros((3, 2), dtype=np.float64)
+    dst = np.zeros((3, 2), dtype=np.float64)
+    src[0] = center + box * shift
+    src[1] = center + src_dir + box * shift
+    src[2] = _third_point(src[0], src[1])
+    dst[0] = [dst_w * 0.5, dst_h * 0.5]
+    dst[1] = np.array([dst_w * 0.5, dst_h * 0.5]) + dst_dir
+    dst[2] = _third_point(dst[0], dst[1])
+
+    if inv:
+        return _solve_affine(dst, src)
+    return _solve_affine(src, dst)
+
+
+def affine_transform(pt, t) -> np.ndarray:
+    """Apply a 2x3 affine to a single (x, y) point (transforms.py:92-95)."""
+    p = np.array([pt[0], pt[1], 1.0])
+    return (t @ p)[:2]
+
+
+def transform_preds(coords, center, scale, output_size) -> np.ndarray:
+    """Map heatmap-space keypoints back to source-image coordinates.
+
+    Vectorized equivalent of the reference's per-point loop
+    (``lib/utils/transforms.py:49-54``).
+    coords: (num_joints, 2+) array; only [:, :2] is transformed.
+    """
+    coords = np.asarray(coords)
+    t = get_affine_transform(center, scale, 0, output_size, inv=True)
+    ones = np.ones((coords.shape[0], 1))
+    homo = np.concatenate([coords[:, :2], ones], axis=1)  # (J, 3)
+    out = np.zeros(coords.shape)
+    out[:, :2] = homo @ t.T
+    return out
+
+
+def transform_preds_batch(coords, centers, scales, output_size) -> np.ndarray:
+    """Batched transform_preds: coords (N, J, 2), centers/scales (N, 2)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n, j, _ = coords.shape
+    out = np.zeros_like(coords)
+    for i in range(n):
+        t = get_affine_transform(centers[i], scales[i], 0, output_size, inv=True)
+        homo = np.concatenate([coords[i], np.ones((j, 1))], axis=1)
+        out[i] = homo @ t.T
+    return out
