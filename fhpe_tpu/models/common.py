@@ -1,0 +1,134 @@
+"""Shared building blocks for the pose backbones.
+
+TPU-first conventions used by every model in this package:
+
+* **NHWC layout** everywhere — the native layout for XLA:TPU convolutions
+  (the reference uses NCHW, the torch default).
+* **Mixed precision**: convolutions compute in ``dtype`` (bfloat16 by
+  default, MXU-native); parameters and BatchNorm statistics stay float32.
+* **BatchNorm semantics**: torch ``momentum=0.1`` corresponds to flax
+  ``momentum=0.9`` (flax keeps ``m*old + (1-m)*new``).  Statistics are
+  per-device under data parallelism — matching the reference's
+  ``nn.DataParallel`` per-replica BN (no sync-BN; SURVEY.md section 2.3).
+* **Initializers**: ``torch_conv_kernel_init``/``torch_conv_bias_init``
+  reproduce torch's default Conv2d init (kaiming_uniform with a=sqrt(5),
+  i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in))) used by the hourglass model,
+  which never calls an explicit init (reference ``lib/models/hourglass.py``).
+  ``normal001`` is the explicit normal(0, 0.001) used by HRNet/PoseResNet
+  (``pose_hrnet.py:462-478``, ``pose_resnet.py:209-249``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+BN_MOMENTUM_TORCH = 0.1
+BN_MOMENTUM = 1.0 - BN_MOMENTUM_TORCH
+BN_EPS = 1e-5
+
+Dtype = Any
+
+
+def _conv_fan_in(shape: Sequence[int]) -> int:
+    # flax conv kernel shape: (kh, kw, in_ch, out_ch)
+    kh, kw, in_ch, _ = shape
+    return kh * kw * in_ch
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(_conv_fan_in(shape))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int) -> Callable:
+    """torch Conv2d default bias: U(+-1/sqrt(fan_in)) with the conv's fan_in."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+normal001 = nn.initializers.normal(stddev=0.001)
+
+
+class Conv(nn.Module):
+    """2D conv in NHWC with explicit torch-style symmetric padding.
+
+    ``torch_init=True`` uses torch's default (hourglass); otherwise
+    normal(0, 0.001) as in HRNet/ResNet ``init_weights``.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int | None = None  # None -> (kernel - 1) // 2
+    use_bias: bool = False
+    torch_init: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2 if self.padding is None else self.padding
+        in_ch = x.shape[-1]
+        fan_in = self.kernel * self.kernel * in_ch
+        kernel_init = torch_conv_kernel_init if self.torch_init else normal001
+        bias_init = (make_torch_bias_init(fan_in) if self.torch_init
+                     else nn.initializers.zeros)
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch momentum 0.1 semantics; computes in float32."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+def max_pool_2x2(x):
+    """2x2/stride-2 max pool (reference hourglass F.max_pool2d(x, 2, 2))."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def max_pool_3x3_s2(x):
+    """3x3/stride-2/pad-1 max pool (ResNet stem)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+def upsample_nearest(x, factor: int = 2):
+    """Nearest-neighbor upsample in NHWC (reference nn.Upsample(scale_factor))."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
