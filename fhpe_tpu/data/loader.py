@@ -1,0 +1,238 @@
+"""Host-side data pipeline: augmentation, affine crop, batching, prefetch.
+
+Per-sample semantics mirror ``JointsDataset.__getitem__``
+(JointsDataset.py:113-198): half-body transform, scale/rotation jitter with
+the reference's exact distributions, horizontal flip with pair swap, one
+affine warp (cv2, INTER_LINEAR on uint8) to the network input size.
+
+TPU-first split of responsibilities:
+* host (this module): decode + augment-params + single uint8 warp — the
+  irreducibly variable-shape work; runs in a thread pool (cv2 releases the
+  GIL) with batches prefetched ahead of the device.
+* device (ops/preprocess.py + geometry/targets.py): /255 + mean/std
+  normalize and Gaussian target generation, fused into the jitted step.
+  Batches ship as uint8 (4x less host->device traffic than float32).
+
+The flip is folded into the geometry the same way the reference does it:
+the raw image is flipped and the center mirrored before the affine
+(JointsDataset.py:161-165).
+"""
+
+from __future__ import annotations
+
+import os
+import random as pyrandom
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..geometry.affine import get_affine_transform, affine_transform
+from ..geometry.flip import fliplr_joints
+from ..geometry.targets import generate_target_np
+
+
+def _read_image(path: str, color_rgb: bool):
+    import cv2
+
+    if "@" in path and ".zip@" in path:
+        from ..utils.zipreader import imread as zip_imread
+        img = zip_imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    else:
+        img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    if img is None:
+        raise ValueError(f"fail to read {path}")
+    if color_rgb:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+def half_body_transform(joints, joints_vis, num_joints, upper_body_ids,
+                        aspect_ratio, rng, pixel_std: float = 200.0):
+    """Reference half-body crop (JointsDataset.py:65-108)."""
+    upper, lower = [], []
+    for jid in range(num_joints):
+        if joints_vis[jid][0] > 0:
+            (upper if jid in upper_body_ids else lower).append(joints[jid])
+
+    if rng.randn() < 0.5 and len(upper) > 2:
+        selected = upper
+    else:
+        selected = lower if len(lower) > 2 else upper
+    if len(selected) < 2:
+        return None, None
+
+    selected = np.array(selected, dtype=np.float32)
+    center = selected.mean(axis=0)[:2]
+    left_top = np.amin(selected, axis=0)
+    right_bottom = np.amax(selected, axis=0)
+    w = right_bottom[0] - left_top[0]
+    h = right_bottom[1] - left_top[1]
+    if w > aspect_ratio * h:
+        h = w * 1.0 / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    scale = np.array([w / pixel_std, h / pixel_std], dtype=np.float32) * 1.5
+    return center, scale
+
+
+class PoseDataSource:
+    """db -> augmented fixed-size samples (the __getitem__ equivalent)."""
+
+    def __init__(self, cfg, db: List[dict], is_train: bool, flip_pairs,
+                 upper_body_ids, joints_weight=None, seed: int = 0):
+        self.cfg = cfg
+        self.db = db
+        self.is_train = is_train
+        self.flip_pairs = flip_pairs
+        self.upper_body_ids = upper_body_ids
+        self.joints_weight = joints_weight
+
+        self.num_joints = int(cfg.MODEL.NUM_JOINTS)
+        self.image_size = np.array(cfg.MODEL.IMAGE_SIZE)
+        self.heatmap_size = np.array(cfg.MODEL.HEATMAP_SIZE)
+        self.sigma = cfg.MODEL.SIGMA
+        self.aspect_ratio = self.image_size[0] / self.image_size[1]
+        self.scale_factor = cfg.DATASET.SCALE_FACTOR
+        self.rotation_factor = cfg.DATASET.ROT_FACTOR
+        self.flip = cfg.DATASET.FLIP
+        self.num_joints_half_body = cfg.DATASET.NUM_JOINTS_HALF_BODY
+        self.prob_half_body = cfg.DATASET.PROB_HALF_BODY
+        self.color_rgb = cfg.DATASET.COLOR_RGB
+        self.use_diff_weight = cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT
+        self.rng = np.random.RandomState(seed)
+        self.pyrng = pyrandom.Random(seed)
+
+    def __len__(self):
+        return len(self.db)
+
+    def get_sample(self, idx: int, host_targets: bool = False) -> Dict:
+        import cv2
+
+        rec = self.db[idx]
+        img = _read_image(rec["image"], self.color_rgb)
+        joints = np.array(rec["joints_3d"], copy=True)
+        joints_vis = np.array(rec["joints_3d_vis"], copy=True)
+        c = np.array(rec["center"], copy=True, dtype=np.float64)
+        s = np.array(rec["scale"], copy=True, dtype=np.float64)
+        score = rec.get("score", 1)
+        r = 0
+
+        if self.is_train:
+            if (np.sum(joints_vis[:, 0]) > self.num_joints_half_body
+                    and self.rng.rand() < self.prob_half_body):
+                c_hb, s_hb = half_body_transform(
+                    joints, joints_vis, self.num_joints, self.upper_body_ids,
+                    self.aspect_ratio, self.rng)
+                if c_hb is not None and s_hb is not None:
+                    c, s = c_hb, s_hb
+
+            sf, rf = self.scale_factor, self.rotation_factor
+            s = s * np.clip(self.rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            r = (np.clip(self.rng.randn() * rf, -rf * 2, rf * 2)
+                 if self.pyrng.random() <= 0.6 else 0)
+
+            if self.flip and self.pyrng.random() <= 0.5:
+                img = img[:, ::-1, :]
+                joints, joints_vis = fliplr_joints(
+                    joints, joints_vis, img.shape[1], self.flip_pairs)
+                c[0] = img.shape[1] - c[0] - 1
+
+        trans = get_affine_transform(c, s, r, self.image_size)
+        warped = cv2.warpAffine(
+            img, trans[:2].astype(np.float32),
+            (int(self.image_size[0]), int(self.image_size[1])),
+            flags=cv2.INTER_LINEAR)
+
+        for i in range(self.num_joints):
+            if joints_vis[i, 0] > 0.0:
+                joints[i, 0:2] = affine_transform(joints[i, 0:2], trans)
+
+        sample = {
+            "image": np.ascontiguousarray(warped),  # uint8 HWC
+            "joints": joints[:, :2].astype(np.float32),
+            "joints_vis": joints_vis[:, 0].astype(np.float32),
+            "center": c.astype(np.float32),
+            "scale": s.astype(np.float32),
+            "rotation": np.float32(r),
+            "score": np.float32(score),
+            "image_path": rec["image"],
+        }
+        if host_targets:
+            tgt, tw = generate_target_np(
+                joints, joints_vis, self.heatmap_size, self.image_size,
+                self.sigma, self.joints_weight, self.use_diff_weight)
+            sample["target"] = np.transpose(tgt, (1, 2, 0))  # NHWC
+            sample["target_weight"] = tw[:, 0]
+        return sample
+
+
+def collate(samples: List[Dict], pad_to: Optional[int] = None) -> Dict:
+    """Stack samples into a batch dict; pad by repeating the last sample.
+
+    Adds ``valid`` (B,) marking real vs padded entries (eval-tail masking).
+    """
+    n = len(samples)
+    total = pad_to or n
+    valid = np.zeros(total, np.bool_)
+    valid[:n] = True
+    while len(samples) < total:
+        samples = samples + [samples[-1]]
+
+    batch = {}
+    for key in samples[0]:
+        if key == "image_path":
+            batch[key] = [s[key] for s in samples]
+        else:
+            batch[key] = np.stack([np.asarray(s[key]) for s in samples])
+    batch["valid"] = valid
+    return batch
+
+
+class BatchLoader:
+    """Epoch iterator with thread-pool sample loading and batch prefetch."""
+
+    def __init__(self, source: PoseDataSource, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = False,
+                 host_targets: bool = False, num_threads: int = 8,
+                 prefetch: int = 2, seed: int = 0):
+        self.source = source
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.host_targets = host_targets
+        self.rng = np.random.RandomState(seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.source)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_batch(self, idxs):
+        samples = list(self.pool.map(
+            lambda i: self.source.get_sample(i, self.host_targets), idxs))
+        return collate(samples, pad_to=self.batch_size)
+
+    def __iter__(self):
+        n = len(self.source)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        batches = [order[i:i + bs] for i in range(0, n, bs)]
+        if self.drop_last and len(batches) and len(batches[-1]) < bs:
+            batches.pop()
+
+        futures = []
+        it = iter(batches)
+        for _ in range(self.prefetch):
+            idxs = next(it, None)
+            if idxs is not None:
+                futures.append(self.pool.submit(self._load_batch, idxs))
+        while futures:
+            batch = futures.pop(0).result()
+            idxs = next(it, None)
+            if idxs is not None:
+                futures.append(self.pool.submit(self._load_batch, idxs))
+            yield batch

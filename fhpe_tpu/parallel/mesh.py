@@ -1,0 +1,47 @@
+"""Device-mesh helpers for SPMD data parallelism.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+scatter/gather (tools/train.py:142; SURVEY.md section 2.3).  Here the
+equivalent is a 1-D ``jax.sharding.Mesh`` over all chips with the global
+batch sharded on the ``data`` axis; gradients are averaged with an on-ICI
+``pmean`` inside ``shard_map`` (see train/step.py).  Multi-host (DCN) works
+through the same mesh with no code change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(num_devices: int = -1, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, sharded on the leading axis."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

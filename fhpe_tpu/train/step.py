@@ -1,0 +1,242 @@
+"""Jitted SPMD train / FPD / eval steps.
+
+The reference's hot loops (``lib/core/function.py:28-332``) become three
+jit-compiled SPMD programs over a 1-D ``data`` mesh:
+
+* ``make_train_step`` — forward, fused loss, backward, ``pmean`` gradient
+  allreduce over ICI, optimizer update, on-device PCK counts.  Replaces the
+  per-step DataParallel scatter/gather + host numpy accuracy
+  (function.py:46-70).
+* ``make_fpd_train_step`` — adds the teacher forward (eval mode,
+  ``stop_gradient`` — deliberately fixing the reference's non-detached
+  teacher forward, function.py:120-122) and the
+  ``(1-alpha)*pose + alpha*kd`` mixing (function.py:134).
+* ``make_eval_step`` — forward with optional on-device flip-test
+  (input W-flip, ``flip_back``, SHIFT_HEATMAP 1-px right shift, 0.5 average;
+  function.py:218-240) and on-device decode; only (x, y, conf) per joint
+  returns to the host.
+
+BatchNorm under data parallelism: statistics are computed **per device**
+(DataParallel computes per-replica stats), and the running stats kept are
+device 0's — matching DataParallel, where only the master replica's buffer
+updates persist.  ``bn_stats="mean"`` (cross-device mean, statistically
+nicer) and ``"local"`` are also available.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..geometry.flip import flip_back_jax
+from ..ops.decode import decode_heatmaps_jax, get_max_preds_jax
+from ..parallel.mesh import DATA_AXIS
+from .loss import fpd_loss, stacked_mse_loss, stacked_ohkm_loss
+from .state import TrainState
+
+
+def _select_device0(tree, axis):
+    """Every device receives device 0's values (masked psum; tiny tensors)."""
+    idx = jax.lax.axis_index(axis)
+    return jax.tree_util.tree_map(
+        lambda s: jax.lax.psum(
+            jnp.where(idx == 0, s, jnp.zeros_like(s)), axis),
+        tree,
+    )
+
+
+def _pck_counts(output, target):
+    """Local (hits, valids) per joint for the global-PCK meter.
+
+    output/target NHWC.  Matches accuracy semantics (eval/pck.py) but
+    returns summable counts so devices combine exactly.
+    """
+    pred, _ = get_max_preds_jax(output)
+    gt, _ = get_max_preds_jax(target)
+    h, w = output.shape[1], output.shape[2]
+    norm = jnp.array([h / 10.0, w / 10.0], dtype=jnp.float32)
+    valid = (gt[..., 0] > 1) & (gt[..., 1] > 1)
+    d = jnp.linalg.norm((pred - gt) / norm, axis=-1)
+    hit = (d < 0.5) & valid
+    return jnp.sum(hit, axis=0), jnp.sum(valid, axis=0)  # (J,), (J,)
+
+
+def _finalize_pck(hits, valids):
+    per_joint = jnp.where(valids > 0, hits / jnp.maximum(valids, 1), -1.0)
+    has = per_joint >= 0
+    cnt = jnp.sum(has)
+    avg = jnp.where(cnt > 0,
+                    jnp.sum(jnp.where(has, per_joint, 0.0)) / jnp.maximum(cnt, 1),
+                    0.0)
+    return per_joint, avg
+
+
+def _last_output(outputs, multi_output: bool):
+    return outputs[-1] if multi_output else outputs
+
+
+def make_train_step(model, cfg, mesh, multi_output: bool,
+                    bn_stats: str = "device0") -> Callable:
+    """Returns jitted ``(state, batch) -> (state, metrics)``.
+
+    batch: {"image" (B,H,W,3), "target" (B,h,w,J), "target_weight" (B,J)}
+    sharded on the leading axis; state replicated.
+    """
+    use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    use_ohkm = bool(cfg.LOSS.USE_OHKM)
+    topk = int(cfg.LOSS.TOPK)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        tw = batch["target_weight"] if use_tw else None
+        if use_ohkm:
+            loss = stacked_ohkm_loss(outputs, batch["target"], tw, topk)
+        else:
+            loss = stacked_mse_loss(outputs, batch["target"], tw)
+        return loss, (mutated["batch_stats"],
+                      _last_output(outputs, multi_output))
+
+    def step(state: TrainState, batch):
+        (loss, (new_stats, final)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+
+        if bn_stats == "device0":
+            new_stats = _select_device0(new_stats, DATA_AXIS)
+        elif bn_stats == "mean":
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+
+        hits, valids = _pck_counts(final, batch["target"])
+        hits = jax.lax.psum(hits, DATA_AXIS)
+        valids = jax.lax.psum(valids, DATA_AXIS)
+        per_joint, avg = _finalize_pck(hits, valids)
+        metrics = {"loss": loss, "acc": avg, "per_joint_acc": per_joint}
+        return state, metrics
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_fpd_train_step(model, teacher_model, cfg, mesh,
+                        multi_output: bool, teacher_multi_output: bool,
+                        bn_stats: str = "device0") -> Callable:
+    """FPD distillation step: ``(state, teacher_vars, batch) -> (state, metrics)``.
+
+    ``teacher_vars`` = {"params", "batch_stats"} (frozen; eval-mode forward).
+    """
+    use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    alpha = float(cfg.KD.ALPHA)
+
+    def loss_fn(params, batch_stats, teacher_final, batch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        tw = batch["target_weight"] if use_tw else None
+        total, pose, kd = fpd_loss(outputs, teacher_final, batch["target"],
+                                   tw, alpha)
+        return total, (pose, kd, mutated["batch_stats"],
+                       _last_output(outputs, multi_output))
+
+    def step(state: TrainState, teacher_vars, batch):
+        t_out = teacher_model.apply(teacher_vars, batch["image"], train=False)
+        teacher_final = jax.lax.stop_gradient(
+            _last_output(t_out, teacher_multi_output))
+
+        (loss, (pose, kd, new_stats, final)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   teacher_final, batch)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss, pose, kd = jax.lax.pmean((loss, pose, kd), DATA_AXIS)
+
+        if bn_stats == "device0":
+            new_stats = _select_device0(new_stats, DATA_AXIS)
+        elif bn_stats == "mean":
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+
+        hits, valids = _pck_counts(final, batch["target"])
+        hits = jax.lax.psum(hits, DATA_AXIS)
+        valids = jax.lax.psum(valids, DATA_AXIS)
+        per_joint, avg = _finalize_pck(hits, valids)
+        metrics = {"loss": loss, "pose_loss": pose, "kd_loss": kd,
+                   "acc": avg, "per_joint_acc": per_joint}
+        return state, metrics
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg, mesh, multi_output: bool,
+                   flip_perm=None) -> Callable:
+    """Returns jitted ``(variables, batch) -> outputs``.
+
+    batch: {"image", "target", "target_weight", "inv_trans" (B,2,3)}.
+    outputs: {"preds" (B,J,2) source-image coords, "maxvals" (B,J),
+              "loss" (), "hits"/"valids" (J,)} — per-sample arrays sharded
+    back to the host, meters reduced across devices.
+    """
+    use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift_heatmap = bool(cfg.TEST.SHIFT_HEATMAP)
+    post_process = bool(cfg.TEST.POST_PROCESS)
+    if flip_test and flip_perm is None:
+        raise ValueError("flip_perm is required when TEST.FLIP_TEST")
+    perm = None if flip_perm is None else jnp.asarray(flip_perm)
+
+    def fwd(variables, images):
+        out = model.apply(variables, images, train=False)
+        return _last_output(out, multi_output)
+
+    def step(variables, batch):
+        output = fwd(variables, batch["image"])
+        if flip_test:
+            flipped = fwd(variables, batch["image"][:, :, ::-1, :])
+            flipped = flip_back_jax(flipped, perm)
+            if shift_heatmap:
+                # reference: col 0 kept, cols 1: get cols 0:-1
+                # (function.py:236-238)
+                flipped = jnp.concatenate(
+                    [flipped[:, :, :1, :], flipped[:, :, :-1, :]], axis=2)
+            output = (output + flipped) * 0.5
+
+        tw = batch["target_weight"] if use_tw else None
+        loss = stacked_mse_loss(output, batch["target"], tw)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+
+        preds, maxvals = decode_heatmaps_jax(output, batch["inv_trans"],
+                                             post_process)
+        hits, valids = _pck_counts(output, batch["target"])
+        hits = jax.lax.psum(hits, DATA_AXIS)
+        valids = jax.lax.psum(valids, DATA_AXIS)
+        return {"preds": preds, "maxvals": maxvals, "loss": loss,
+                "hits": hits, "valids": valids}
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs={"preds": P(DATA_AXIS), "maxvals": P(DATA_AXIS),
+                   "loss": P(), "hits": P(), "valids": P()},
+        check_vma=False,
+    )
+    return jax.jit(sharded)

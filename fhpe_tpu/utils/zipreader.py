@@ -1,0 +1,44 @@
+"""Read images directly out of zip archives (``archive.zip@inner/path``).
+
+Behavioral equivalent of the reference ``lib/utils/zipreader.py``: zip file
+handles are cached per-process and entries decoded with cv2.imdecode.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import numpy as np
+
+_cache: dict = {}
+
+
+def split_path(path: str):
+    pos = path.index("@")
+    zip_path = path[:pos - 1] if path[pos - 1] == os.sep else path[:pos]
+    inner = path[pos + 1:]
+    return zip_path, inner
+
+
+def _get_zip(zip_path: str) -> zipfile.ZipFile:
+    zf = _cache.get(zip_path)
+    if zf is None:
+        zf = zipfile.ZipFile(zip_path, "r")
+        _cache[zip_path] = zf
+    return zf
+
+
+def imread(path: str, flags=None):
+    import cv2
+
+    if flags is None:
+        flags = cv2.IMREAD_COLOR
+    zip_path, inner = split_path(path)
+    data = _get_zip(zip_path).read(inner)
+    return cv2.imdecode(np.frombuffer(data, np.uint8), flags)
+
+
+def read_bytes(path: str) -> bytes:
+    zip_path, inner = split_path(path)
+    return _get_zip(zip_path).read(inner)
