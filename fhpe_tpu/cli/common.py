@@ -1,0 +1,206 @@
+"""Shared CLI wiring: args, datasets, validation epoch.
+
+This is the integration layer the reference spreads over
+``tools/{train,fpd_train,test}.py`` and ``lib/core/function.py:189-332``
+(validate): argparse with ``--cfg`` + ``KEY VALUE`` overrides, dataset/
+loader construction, and the full validation pass (jitted eval step with
+flip-test, decode on device, all_preds/all_boxes accumulation, dataset
+evaluation, markdown table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..data import BatchLoader, PoseDataSource, build_db, dataset_meta
+from ..geometry.flip import flip_pair_permutation
+from ..ops.decode import make_inverse_transforms
+from ..parallel.mesh import get_mesh, shard_batch
+from ..train.step import make_batch_preprocessor, make_eval_step
+from ..utils.logger import AverageMeter, print_name_value
+
+
+def parse_args(description: str, teacher: bool = False):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--cfg", required=True, help="experiment config file")
+    if teacher:
+        parser.add_argument("--tcfg", required=True,
+                            help="teacher experiment config file")
+    parser.add_argument("--modelDir", default="", type=str)
+    parser.add_argument("--logDir", default="", type=str)
+    parser.add_argument("--dataDir", default="", type=str)
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="config overrides: KEY VALUE [KEY VALUE ...]")
+    return parser.parse_args()
+
+
+def load_cfg_from_args(args, cfg_attr="cfg"):
+    return load_config(getattr(args, cfg_attr), opts=args.opts,
+                       model_dir=args.modelDir, log_dir=args.logDir,
+                       data_dir=args.dataDir)
+
+
+def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
+                  train: bool = True):
+    """(train_loader, val_loader, meta).  synthetic_dir swaps in the
+    hermetic synthetic db (for smoke runs without real data)."""
+    meta = dataset_meta(cfg.DATASET.DATASET)
+
+    if synthetic_dir is not None:
+        from ..data import make_synthetic_db
+        db_train = make_synthetic_db(
+            synthetic_dir, 64, meta["num_joints"],
+            (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))
+        db_val = db_train[:32]
+    else:
+        db_train = build_db(cfg, cfg.DATASET.TRAIN_SET, True) if train else []
+        db_val = build_db(cfg, cfg.DATASET.TEST_SET, False)
+
+    train_loader = None
+    if train:
+        src = PoseDataSource(cfg, db_train, is_train=True,
+                             flip_pairs=meta["flip_pairs"],
+                             upper_body_ids=meta["upper_body_ids"],
+                             joints_weight=meta["joints_weight"])
+        train_loader = BatchLoader(
+            src, batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * n_devices,
+            shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
+            host_targets=not cfg.TPU.DEVICE_PREPROCESS,
+            num_threads=max(2, cfg.WORKERS))
+
+    val_src = PoseDataSource(cfg, db_val, is_train=False,
+                             flip_pairs=meta["flip_pairs"],
+                             upper_body_ids=meta["upper_body_ids"],
+                             joints_weight=meta["joints_weight"])
+    val_loader = BatchLoader(
+        val_src, batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * n_devices,
+        shuffle=False, drop_last=False,
+        host_targets=not cfg.TPU.DEVICE_PREPROCESS,
+        num_threads=max(2, cfg.WORKERS))
+    return train_loader, val_loader, meta
+
+
+def device_batch(cfg, batch, mesh, for_eval=False):
+    """Host batch dict -> device arrays (sharded), minimal transfer set."""
+    keys = ["image"]
+    if cfg.TPU.DEVICE_PREPROCESS:
+        keys += ["joints", "joints_vis"]
+    else:
+        keys += ["target", "target_weight"]
+    if for_eval:
+        out = {k: jnp.asarray(batch[k]) for k in keys}
+        out["inv_trans"] = jnp.asarray(
+            make_inverse_transforms(batch["center"], batch["scale"],
+                                    tuple(cfg.MODEL.HEATMAP_SIZE)))
+        if cfg.TPU.DEVICE_PREPROCESS:
+            pass
+        return shard_batch(mesh, out)
+    return shard_batch(mesh, {k: jnp.asarray(batch[k]) for k in keys})
+
+
+def validate(cfg, model, variables, val_loader, mesh, meta, logger,
+             multi_output: bool, evaluate_fn=None, output_dir: str = ""):
+    """Full validation pass (reference function.py:189-332).
+
+    Returns (perf_indicator, name_values, all_preds, all_boxes, img_paths).
+    """
+    perm = flip_pair_permutation(meta["num_joints"], meta["flip_pairs"])
+    prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
+               if cfg.TPU.DEVICE_PREPROCESS else None)
+    eval_step = make_eval_step(model, cfg, mesh, multi_output,
+                               flip_perm=perm, prepare=prepare)
+
+    num_samples = len(val_loader.source)
+    all_preds = np.zeros((num_samples, meta["num_joints"], 3), np.float32)
+    all_boxes = np.zeros((num_samples, 6))
+    img_paths = []
+    losses, accs = AverageMeter(), AverageMeter()
+    idx = 0
+    t0 = time.time()
+    for batch in val_loader:
+        out = eval_step(variables, device_batch(cfg, batch, mesh,
+                                                for_eval=True))
+        valid = batch["valid"]
+        n = int(valid.sum())
+        preds = np.asarray(out["preds"])[:n]
+        maxvals = np.asarray(out["maxvals"])[:n]
+
+        all_preds[idx:idx + n, :, 0:2] = preds
+        all_preds[idx:idx + n, :, 2] = maxvals
+        c, s = batch["center"][:n], batch["scale"][:n]
+        all_boxes[idx:idx + n, 0:2] = c
+        all_boxes[idx:idx + n, 2:4] = s
+        all_boxes[idx:idx + n, 4] = np.prod(s * 200, 1)
+        all_boxes[idx:idx + n, 5] = batch["score"][:n]
+        img_paths.extend(batch["image_path"][:n])
+
+        losses.update(float(out["loss"]), n)
+        hits, valids = np.asarray(out["hits"]), np.asarray(out["valids"])
+        avg = (hits.sum() / max(valids.sum(), 1)) if valids.sum() else 0.0
+        accs.update(avg, n)
+        idx += n
+
+    if logger:
+        logger.info(
+            f"Test: loss {losses.avg:.4f}  acc {accs.avg:.3f}  "
+            f"({num_samples / max(time.time() - t0, 1e-9):.1f} samples/s)")
+
+    if evaluate_fn is None:
+        return accs.avg, {}, all_preds, all_boxes, img_paths
+
+    name_values, perf = evaluate_fn(cfg, all_preds, output_dir, all_boxes,
+                                    img_paths)
+    if logger:
+        if isinstance(name_values, list):
+            for nv in name_values:
+                print_name_value(logger, nv, cfg.MODEL.NAME)
+        else:
+            print_name_value(logger, name_values, cfg.MODEL.NAME)
+    return perf, name_values, all_preds, all_boxes, img_paths
+
+
+def make_evaluate_fn(cfg):
+    """Dataset-dispatch for the final metric computation."""
+    name = cfg.DATASET.DATASET
+    if name == "synthetic":
+        return None  # perf = in-training PCK proxy
+    if name == "mpii":
+        from ..data import mpii
+
+        def fn(cfg, preds, output_dir, all_boxes, img_paths):
+            return mpii.evaluate(cfg, preds, output_dir or None)
+        return fn
+    if name == "coco":
+        from ..data import coco as coco_data
+        from ..data.coco import CocoIndex, rescore_and_nms, write_results_json
+        from ..eval.coco_eval import CocoKeypointEval
+        import os
+        from collections import OrderedDict
+
+        def fn(cfg, preds, output_dir, all_boxes, img_paths):
+            nmsed = rescore_and_nms(
+                preds, all_boxes, img_paths,
+                num_joints=coco_data.NUM_JOINTS,
+                in_vis_thre=cfg.TEST.IN_VIS_THRE,
+                oks_thre=cfg.TEST.OKS_THRE, soft=cfg.TEST.SOFT_NMS)
+            res_file = os.path.join(
+                output_dir or ".", "results",
+                f"keypoints_{cfg.DATASET.TEST_SET}_results_{cfg.RANK}.json")
+            results = write_results_json(nmsed, res_file)
+            if "test" in cfg.DATASET.TEST_SET:
+                return OrderedDict([("Null", 0.0)]), 0.0
+            ann = os.path.join(cfg.DATASET.ROOT, "annotations",
+                               f"person_keypoints_{cfg.DATASET.TEST_SET}.json")
+            ev = CocoKeypointEval(CocoIndex(ann))
+            info = ev.evaluate(results)
+            nv = OrderedDict(info)
+            return nv, nv["AP"]
+        return fn
+    raise KeyError(name)

@@ -1,0 +1,186 @@
+"""FPD distillation training CLI.
+
+Equivalent of the reference ``tools/fpd_train.py``: student config via
+``--cfg``, teacher via ``--tcfg``; teacher weights from ``KD.TEACHER``
+(required — the reference's NORMAL mode crashes on an undefined teacher,
+fpd_train.py:244, and is intentionally not supported here either); both
+models validated before epoch 0 as a sanity check; per-epoch FPD step with
+``loss = (1-alpha)*MSE(student, gt) + alpha*MSE(student, teacher)``.
+
+Usage:
+  python -m fhpe_tpu.cli.fpd_train --cfg <student.yaml> --tcfg <teacher.yaml>
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..models import get_pose_net, is_multi_output
+from ..parallel.mesh import get_mesh
+from ..train.state import create_train_state, lr_for_epoch, set_lr
+from ..train.step import make_batch_preprocessor, make_fpd_train_step
+from ..utils.checkpoint import (auto_resume, load_model_weights,
+                                save_checkpoint, save_final_state)
+from ..utils.logger import create_logger, save_config_yaml
+from ..utils.summary import get_model_summary
+from .common import (build_loaders, device_batch, load_cfg_from_args,
+                     make_evaluate_fn, parse_args, validate)
+from .train import train_one_epoch as _normal_epoch
+from ..utils.logger import AverageMeter
+import time
+
+
+def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
+                        logger, writer=None, global_step=0):
+    batch_time = AverageMeter()
+    losses, pose_losses, kd_losses, accs = (AverageMeter(), AverageMeter(),
+                                            AverageMeter(), AverageMeter())
+    end = time.time()
+    for i, batch in enumerate(loader):
+        state, metrics = step_fn(state, tvars, device_batch(cfg, batch, mesh))
+        if i % cfg.PRINT_FREQ == 0:
+            n = batch["image"].shape[0]
+            batch_time.update(time.time() - end)
+            losses.update(float(metrics["loss"]), n)
+            pose_losses.update(float(metrics["pose_loss"]), n)
+            kd_losses.update(float(metrics["kd_loss"]), n)
+            accs.update(float(metrics["acc"]), n)
+            speed = n / max(batch_time.val, 1e-9)
+            logger.info(
+                f"Epoch: [{epoch}][{i}/{len(loader)}]  "
+                f"Time {batch_time.val:.3f}s  Speed {speed:.1f} samples/s  "
+                f"Loss {losses.val:.5f} ({losses.avg:.5f})  "
+                f"PoseLoss {pose_losses.val:.5f}  KDLoss {kd_losses.val:.5f}  "
+                f"Accuracy {accs.val:.3f} ({accs.avg:.3f})")
+            if writer is not None:
+                writer.add_scalar("train_loss", losses.val, global_step)
+                writer.add_scalar("train_pose_loss", pose_losses.val,
+                                  global_step)
+                writer.add_scalar("train_kd_pose_loss", kd_losses.val,
+                                  global_step)
+                writer.add_scalar("train_acc", accs.val, global_step)
+        end = time.time()
+        global_step += 1
+    return state, global_step
+
+
+def main():
+    args = parse_args("FPD distillation training", teacher=True)
+    cfg = load_cfg_from_args(args)
+    if cfg.KD.TRAIN_TYPE != "FPD":
+        raise SystemExit(
+            "KD.TRAIN_TYPE must be 'FPD' for fpd_train (the reference's "
+            "NORMAL branch is broken upstream, fpd_train.py:244; use "
+            "cli.train for normal training)")
+    if not cfg.KD.TEACHER or not os.path.exists(cfg.KD.TEACHER):
+        raise SystemExit(f"KD.TEACHER checkpoint not found: {cfg.KD.TEACHER}")
+
+    # teacher cfg: clone of student cfg merged with the teacher file
+    # (reference fpd_train.py:128-131)
+    tcfg = cfg.clone()
+    tcfg.defrost()
+    tcfg.merge_from_file(args.tcfg)
+    tcfg.freeze()
+
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "fpd_train")
+    logger.info(f"JAX devices: {jax.devices()}")
+    save_config_yaml(cfg, os.path.join(output_dir, "config.yaml"))
+    save_config_yaml(tcfg, os.path.join(output_dir, "teacher_config.yaml"))
+
+    n_dev = (cfg.TPU.NUM_DEVICES if cfg.TPU.NUM_DEVICES > 0
+             else len(jax.devices()))
+    mesh = get_mesh(n_dev)
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+    student = get_pose_net(cfg, dtype=dtype)
+    teacher = get_pose_net(tcfg, dtype=dtype)
+    logger.info("Student:\n" + get_model_summary(
+        student, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))["text"])
+    logger.info("Teacher:\n" + get_model_summary(
+        teacher, (tcfg.MODEL.IMAGE_SIZE[1], tcfg.MODEL.IMAGE_SIZE[0]))["text"])
+
+    train_loader, val_loader, meta = build_loaders(cfg, n_dev)
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0], 3))
+    state = create_train_state(cfg, student, rng, sample)
+
+    tvars = load_model_weights(cfg.KD.TEACHER)
+    # validate checkpoint structure against a fresh init
+    t_init = teacher.init(jax.random.PRNGKey(1), sample, train=False)
+    from flax import serialization
+    tvars = serialization.from_state_dict(t_init, tvars)
+
+    # student warm-start (reference fpd_train.py:169-172)
+    if cfg.TRAIN.CHECKPOINT and os.path.exists(cfg.TRAIN.CHECKPOINT):
+        w = load_model_weights(cfg.TRAIN.CHECKPOINT)
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, w["params"]),
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, w["batch_stats"]))
+        logger.info(f"=> student warm-started from {cfg.TRAIN.CHECKPOINT}")
+
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    best_perf = -1.0
+    if cfg.AUTO_RESUME:
+        state, ckpt_epoch, ckpt_perf = auto_resume(output_dir, state)
+        if ckpt_epoch is not None:
+            begin_epoch, best_perf = ckpt_epoch, ckpt_perf
+            logger.info(f"=> auto-resumed from epoch {begin_epoch}")
+
+    prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
+               if cfg.TPU.DEVICE_PREPROCESS else None)
+    step_fn = make_fpd_train_step(
+        student, teacher, cfg, mesh, is_multi_output(student),
+        is_multi_output(teacher), prepare=prepare)
+    evaluate_fn = make_evaluate_fn(cfg)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(log_dir=tb_dir)
+    except Exception:
+        pass
+
+    # pre-training sanity validation of both models (fpd_train.py:242-250)
+    logger.info("=> validating teacher before training")
+    tperf, *_ = validate(cfg, teacher, tvars, val_loader, mesh, meta, logger,
+                         is_multi_output(teacher), evaluate_fn, output_dir)
+    logger.info(f"=> teacher perf: {tperf:.4f}")
+    logger.info("=> validating student before training")
+    svars = {"params": state.params, "batch_stats": state.batch_stats}
+    sperf, *_ = validate(cfg, student, svars, val_loader, mesh, meta, logger,
+                         is_multi_output(student), evaluate_fn, output_dir)
+    logger.info(f"=> student perf: {sperf:.4f}")
+
+    global_step = 0
+    for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+        state = set_lr(state, lr_for_epoch(cfg, epoch))
+        state, global_step = fpd_train_one_epoch(
+            cfg, train_loader, step_fn, state, tvars, mesh, epoch, logger,
+            writer, global_step)
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        perf, *_ = validate(cfg, student, variables, val_loader, mesh, meta,
+                            logger, is_multi_output(student), evaluate_fn,
+                            output_dir)
+        if writer is not None:
+            writer.add_scalar("valid_perf", float(perf), epoch)
+
+        is_best = perf >= best_perf
+        best_perf = max(perf, best_perf)
+        save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+        logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
+                    f"best {best_perf:.4f})")
+
+    save_final_state(output_dir, state)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Normal training CLI.
+
+Equivalent of the reference ``tools/train.py``: config merge, run-dir
+logger, model summary, datasets/loaders, optimizer + epoch-boundary LR
+schedule, AUTO_RESUME, epoch loop train -> validate -> checkpoint, final
+state dump.  TPU-native internals: jitted SPMD train step over the data
+mesh, fused on-device preprocessing, on-device PCK.
+
+Usage:
+  python -m fhpe_tpu.cli.train --cfg experiments/mpii/hourglass/hg4.yaml \
+      [TRAIN.END_EPOCH 140 ...]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import get_pose_net, is_multi_output
+from ..parallel.mesh import get_mesh
+from ..train.state import create_train_state, lr_for_epoch, set_lr
+from ..train.step import make_batch_preprocessor, make_train_step
+from ..utils.checkpoint import (auto_resume, save_checkpoint,
+                                save_final_state)
+from ..utils.logger import AverageMeter, create_logger, save_config_yaml
+from ..utils.summary import get_model_summary
+from ..utils.vis import save_debug_images
+from .common import (build_loaders, device_batch, load_cfg_from_args,
+                     make_evaluate_fn, parse_args, validate)
+
+
+def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
+                    writer=None, global_step=0, output_dir=""):
+    batch_time, losses, accs = AverageMeter(), AverageMeter(), AverageMeter()
+    end = time.time()
+    for i, batch in enumerate(loader):
+        state, metrics = step_fn(state, device_batch(cfg, batch, mesh))
+        if i % cfg.PRINT_FREQ == 0:
+            loss = float(metrics["loss"])
+            acc = float(metrics["acc"])
+            n = batch["image"].shape[0]
+            batch_time.update(time.time() - end)
+            losses.update(loss, n)
+            accs.update(acc, n)
+            speed = n / max(batch_time.val, 1e-9)
+            logger.info(
+                f"Epoch: [{epoch}][{i}/{len(loader)}]  "
+                f"Time {batch_time.val:.3f}s  Speed {speed:.1f} samples/s  "
+                f"Loss {losses.val:.5f} ({losses.avg:.5f})  "
+                f"Accuracy {accs.val:.3f} ({accs.avg:.3f})")
+            if writer is not None:
+                writer.add_scalar("train_loss", loss, global_step)
+                writer.add_scalar("train_acc", acc, global_step)
+            if cfg.DEBUG.DEBUG and "target" in batch:
+                prefix = os.path.join(output_dir, f"train_{epoch}_{i}")
+                save_debug_images(cfg, batch["image"],
+                                  batch["joints"][..., None] * 0,
+                                  batch["joints_vis"][..., None],
+                                  batch["target"], batch["target"], prefix)
+        end = time.time()
+        global_step += 1
+    return state, global_step
+
+
+def main():
+    args = parse_args("Train keypoints network")
+    cfg = load_cfg_from_args(args)
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
+    logger.info(f"JAX devices: {jax.devices()}")
+    save_config_yaml(cfg, os.path.join(output_dir, "config.yaml"))
+
+    n_dev = (cfg.TPU.NUM_DEVICES if cfg.TPU.NUM_DEVICES > 0
+             else len(jax.devices()))
+    mesh = get_mesh(n_dev)
+
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    model = get_pose_net(cfg, dtype=dtype)
+    summary = get_model_summary(
+        model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))
+    logger.info(summary["text"])
+
+    train_loader, val_loader, meta = build_loaders(cfg, n_dev)
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0], 3))
+    state = create_train_state(cfg, model, rng, sample)
+
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    best_perf = -1.0
+    if cfg.AUTO_RESUME:
+        state, ckpt_epoch, ckpt_perf = auto_resume(output_dir, state)
+        if ckpt_epoch is not None:
+            begin_epoch = ckpt_epoch
+            best_perf = ckpt_perf
+            logger.info(f"=> auto-resumed from epoch {begin_epoch} "
+                        f"(best perf {best_perf:.4f})")
+
+    prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
+               if cfg.TPU.DEVICE_PREPROCESS else None)
+    step_fn = make_train_step(model, cfg, mesh, is_multi_output(model),
+                              prepare=prepare)
+    evaluate_fn = make_evaluate_fn(cfg)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(log_dir=tb_dir)
+    except Exception:
+        logger.info("tensorboardX unavailable; skipping TB logging")
+
+    global_step = 0
+    for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+        state = set_lr(state, lr_for_epoch(cfg, epoch))
+        state, global_step = train_one_epoch(
+            cfg, train_loader, step_fn, state, mesh, epoch, logger, writer,
+            global_step, output_dir)
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        perf, name_values, *_ = validate(
+            cfg, model, variables, val_loader, mesh, meta, logger,
+            is_multi_output(model), evaluate_fn, output_dir)
+        if writer is not None:
+            writer.add_scalar("valid_perf", float(perf), epoch)
+
+        is_best = perf >= best_perf
+        best_perf = max(perf, best_perf)
+        logger.info(f"=> saving checkpoint to {output_dir} "
+                    f"(perf {perf:.4f}, best {best_perf:.4f})")
+        save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+
+    save_final_state(output_dir, state)
+    logger.info(f"=> saved final state to {output_dir}")
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()

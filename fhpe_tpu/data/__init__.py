@@ -3,6 +3,8 @@ tools/train.py:153)."""
 
 from __future__ import annotations
 
+import os
+
 from . import coco, mpii
 from .loader import BatchLoader, PoseDataSource, collate
 from .synthetic import make_synthetic_db
@@ -10,6 +12,8 @@ from .synthetic import make_synthetic_db
 
 def dataset_meta(name: str) -> dict:
     """Per-dataset constants: joints, flip pairs, body split, weights."""
+    if name == "synthetic":  # hermetic smoke dataset (MPII-shaped)
+        return dataset_meta("mpii")
     if name == "mpii":
         return {
             "num_joints": mpii.NUM_JOINTS,
@@ -34,6 +38,13 @@ def build_db(cfg, image_set: str, is_train: bool):
     name = cfg.DATASET.DATASET
     root = cfg.DATASET.ROOT
     cache = cfg.DATASET.CACHE_ROOT or None
+    if name == "synthetic":
+        out = os.path.join(root or "/tmp/fhpe_synth", image_set)
+        n = 64 if is_train else 32
+        return make_synthetic_db(
+            out, n, cfg.MODEL.NUM_JOINTS,
+            (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]),
+            seed=0 if is_train else 1)
     if name == "mpii":
         return mpii.build_db(root, image_set, cfg.DATASET.DATA_FORMAT, cache)
     if name == "coco":

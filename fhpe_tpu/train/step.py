@@ -30,14 +30,59 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..geometry.flip import flip_back_jax
+from ..geometry.targets import generate_target_jax
 from ..ops.decode import decode_heatmaps_jax, get_max_preds_jax
+from ..ops.preprocess import normalize_images_jax
 from ..parallel.mesh import DATA_AXIS
 from .loss import fpd_loss, stacked_mse_loss, stacked_ohkm_loss
 from .state import TrainState
+
+
+def make_batch_preprocessor(cfg, joints_weight=None):
+    """Fused on-device preprocessing closure (TPU.DEVICE_PREPROCESS).
+
+    Input batches carry raw uint8 crops + joint coords; the step normalizes
+    (/255, mean/std) and stamps Gaussian targets on device — the
+    north-star fusion replacing the reference's host-side ToTensor/
+    Normalize + generate_target (JointsDataset.py:174-181).  Returns a
+    function mapping the raw batch to {image, target, target_weight, ...}.
+    """
+    img_size = tuple(cfg.MODEL.IMAGE_SIZE)      # (W, H)
+    hm_size = tuple(cfg.MODEL.HEATMAP_SIZE)     # (W, H)
+    sigma = cfg.MODEL.SIGMA
+    use_diff = bool(cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT)
+    jw = None
+    if use_diff and joints_weight is not None:
+        jw = jnp.asarray(np.asarray(joints_weight).reshape(-1))
+
+    def prepare(batch):
+        if "target" in batch:
+            return batch
+        out = dict(batch)
+        out["image"] = normalize_images_jax(batch["image"])
+        target, tw = generate_target_jax(
+            batch["joints"], batch["joints_vis"], hm_size, img_size, sigma,
+            joints_weight=jw, use_different_joints_weight=use_diff)
+        # targets NHWC to match model output layout
+        out["target"] = jnp.transpose(target, (0, 2, 3, 1))
+        out["target_weight"] = tw
+        return out
+
+    return prepare
+
+
+def _identity_prepare(batch):
+    if "target" in batch and batch["image"].dtype != jnp.uint8:
+        return batch
+    out = dict(batch)
+    if batch["image"].dtype == jnp.uint8:
+        out["image"] = normalize_images_jax(batch["image"])
+    return out
 
 
 def _select_device0(tree, axis):
@@ -81,15 +126,18 @@ def _last_output(outputs, multi_output: bool):
 
 
 def make_train_step(model, cfg, mesh, multi_output: bool,
-                    bn_stats: str = "device0") -> Callable:
+                    bn_stats: str = "device0", prepare=None) -> Callable:
     """Returns jitted ``(state, batch) -> (state, metrics)``.
 
     batch: {"image" (B,H,W,3), "target" (B,h,w,J), "target_weight" (B,J)}
-    sharded on the leading axis; state replicated.
+    sharded on the leading axis; state replicated.  With a ``prepare``
+    closure (make_batch_preprocessor) the batch instead carries raw uint8
+    crops + joints and preprocessing fuses into the step on device.
     """
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     use_ohkm = bool(cfg.LOSS.USE_OHKM)
     topk = int(cfg.LOSS.TOPK)
+    prepare = prepare or _identity_prepare
 
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
@@ -104,6 +152,7 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
                       _last_output(outputs, multi_output))
 
     def step(state: TrainState, batch):
+        batch = prepare(batch)
         (loss, (new_stats, final)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
         grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -134,13 +183,14 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
 
 def make_fpd_train_step(model, teacher_model, cfg, mesh,
                         multi_output: bool, teacher_multi_output: bool,
-                        bn_stats: str = "device0") -> Callable:
+                        bn_stats: str = "device0", prepare=None) -> Callable:
     """FPD distillation step: ``(state, teacher_vars, batch) -> (state, metrics)``.
 
     ``teacher_vars`` = {"params", "batch_stats"} (frozen; eval-mode forward).
     """
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     alpha = float(cfg.KD.ALPHA)
+    prepare = prepare or _identity_prepare
 
     def loss_fn(params, batch_stats, teacher_final, batch):
         outputs, mutated = model.apply(
@@ -153,6 +203,7 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
                        _last_output(outputs, multi_output))
 
     def step(state: TrainState, teacher_vars, batch):
+        batch = prepare(batch)
         t_out = teacher_model.apply(teacher_vars, batch["image"], train=False)
         teacher_final = jax.lax.stop_gradient(
             _last_output(t_out, teacher_multi_output))
@@ -188,7 +239,7 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
 
 
 def make_eval_step(model, cfg, mesh, multi_output: bool,
-                   flip_perm=None) -> Callable:
+                   flip_perm=None, prepare=None) -> Callable:
     """Returns jitted ``(variables, batch) -> outputs``.
 
     batch: {"image", "target", "target_weight", "inv_trans" (B,2,3)}.
@@ -203,12 +254,14 @@ def make_eval_step(model, cfg, mesh, multi_output: bool,
     if flip_test and flip_perm is None:
         raise ValueError("flip_perm is required when TEST.FLIP_TEST")
     perm = None if flip_perm is None else jnp.asarray(flip_perm)
+    prepare = prepare or _identity_prepare
 
     def fwd(variables, images):
         out = model.apply(variables, images, train=False)
         return _last_output(out, multi_output)
 
     def step(variables, batch):
+        batch = prepare(batch)
         output = fwd(variables, batch["image"])
         if flip_test:
             flipped = fwd(variables, batch["image"][:, :, ::-1, :])
