@@ -36,10 +36,20 @@ from .common import (build_loaders, device_batch, load_cfg_from_args,
 
 def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
                     writer=None, global_step=0, output_dir=""):
+    """One training epoch.  Set FHPE_PROFILE_DIR to capture a jax.profiler
+    trace of steps 2-12 of epoch 0 (the reference offers wall-clock meters
+    only; SURVEY.md section 5)."""
+    profile_dir = os.environ.get("FHPE_PROFILE_DIR")
     batch_time, losses, accs = AverageMeter(), AverageMeter(), AverageMeter()
     end = time.time()
     for i, batch in enumerate(loader):
+        if profile_dir and epoch == 0 and i == 2:
+            jax.profiler.start_trace(profile_dir)
         state, metrics = step_fn(state, device_batch(cfg, batch, mesh))
+        if profile_dir and epoch == 0 and i == 12:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logger.info(f"=> wrote profiler trace to {profile_dir}")
         if i % cfg.PRINT_FREQ == 0:
             loss = float(metrics["loss"])
             acc = float(metrics["acc"])
@@ -56,12 +66,12 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
             if writer is not None:
                 writer.add_scalar("train_loss", loss, global_step)
                 writer.add_scalar("train_acc", acc, global_step)
-            if cfg.DEBUG.DEBUG and "target" in batch:
+            if cfg.DEBUG.DEBUG and "output" in metrics:
                 prefix = os.path.join(output_dir, f"train_{epoch}_{i}")
-                save_debug_images(cfg, batch["image"],
-                                  batch["joints"][..., None] * 0,
+                save_debug_images(cfg, batch["image"], batch["joints"],
                                   batch["joints_vis"][..., None],
-                                  batch["target"], batch["target"], prefix)
+                                  np.asarray(metrics["target"]),
+                                  np.asarray(metrics["output"]), prefix)
         end = time.time()
         global_step += 1
     return state, global_step
@@ -103,7 +113,8 @@ def main():
     prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
                if cfg.TPU.DEVICE_PREPROCESS else None)
     step_fn = make_train_step(model, cfg, mesh, is_multi_output(model),
-                              prepare=prepare)
+                              prepare=prepare,
+                              debug_outputs=cfg.DEBUG.DEBUG)
     evaluate_fn = make_evaluate_fn(cfg)
 
     writer = None

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 from . import coco, mpii
+from .filters import select_data
 from .loader import BatchLoader, PoseDataSource, collate
 from .synthetic import make_synthetic_db
 
@@ -34,7 +35,17 @@ def dataset_meta(name: str) -> dict:
 
 
 def build_db(cfg, image_set: str, is_train: bool):
-    """Build the sample db for cfg's dataset/split (gt or detector boxes)."""
+    """Build the sample db for cfg's dataset/split (gt or detector boxes).
+
+    Applies the ks-metric ``select_data`` filter for training when
+    ``DATASET.SELECT_DATA`` (JointsDataset.py:51-52 semantics)."""
+    db = _build_db_raw(cfg, image_set, is_train)
+    if is_train and cfg.DATASET.SELECT_DATA:
+        db = select_data(db)
+    return db
+
+
+def _build_db_raw(cfg, image_set: str, is_train: bool):
     name = cfg.DATASET.DATASET
     root = cfg.DATASET.ROOT
     cache = cfg.DATASET.CACHE_ROOT or None

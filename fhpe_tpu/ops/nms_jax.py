@@ -51,24 +51,43 @@ def pairwise_oks_pallas(xs, ys, areas, sigmas=None, tile: int = 128,
 
     N must be a multiple of ``tile`` (pad with zeros; padded rows produce
     garbage similarities that the greedy mask ignores via ``valid``).
+
+    Layout: keypoints ship transposed as (J, N) so each joint is one
+    128-lane row; the joint loop is a ``fori_loop`` (a Python unroll keeps
+    17 x several (tile, tile) f32 temporaries live simultaneously and
+    spills VMEM — observed 135M of scoped-vmem spill slots on v5e).
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     sigmas = COCO_SIGMAS if sigmas is None else np.asarray(sigmas)
-    variances = ((sigmas * 2.0) ** 2).astype(np.float32)
+    inv_two_vars = (1.0 / (2.0 * (sigmas * 2.0) ** 2)).astype(np.float32)
     n, j = xs.shape
     assert n % tile == 0, f"pad N={n} to a multiple of {tile}"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(x_i, y_i, a_i, x_j, y_j, a_j, out_ref):
-        denom = (a_i[:, 0][:, None] + a_j[:, 0][None, :]) / 2.0 + _EPS
-        acc = jnp.zeros(out_ref.shape, jnp.float32)
-        for k in range(j):
-            dxk = x_j[:, k][None, :] - x_i[:, k][:, None]
-            dyk = y_j[:, k][None, :] - y_i[:, k][:, None]
-            e = (dxk * dxk + dyk * dyk) / variances[k] / denom / 2.0
-            acc = acc + jnp.exp(-e)
+    xs_t = jnp.transpose(xs.astype(jnp.float32))      # (J, N)
+    ys_t = jnp.transpose(ys.astype(jnp.float32))
+    a_row = areas.astype(jnp.float32)[None, :]        # (1, N)
+    ivars = jnp.asarray(inv_two_vars)[None, :]        # (1, J)
+
+    def kernel(iv_ref, x_i, y_i, a_i, x_j, y_j, a_j, out_ref):
+        inv_denom = 1.0 / ((jnp.transpose(a_i[:, :]) + a_j[0, :][None, :])
+                           / 2.0 + _EPS)              # (TI, TJ)
+
+        def body(k, acc):
+            xi = jnp.transpose(x_i[pl.ds(k, 1), :])   # (TI, 1)
+            yi = jnp.transpose(y_i[pl.ds(k, 1), :])
+            xj = x_j[pl.ds(k, 1), :]                  # (1, TJ)
+            yj = y_j[pl.ds(k, 1), :]
+            dx = xj - xi
+            dy = yj - yi
+            e = (dx * dx + dy * dy) * iv_ref[0, k] * inv_denom
+            return acc + jnp.exp(-e)
+
+        acc = jax.lax.fori_loop(
+            0, j, body, jnp.zeros(out_ref.shape, jnp.float32))
         out_ref[:, :] = acc / float(j)
 
     grid = (n // tile, n // tile)
@@ -77,19 +96,18 @@ def pairwise_oks_pallas(xs, ys, areas, sigmas=None, tile: int = 128,
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, j), lambda i, jj: (i, 0)),
-            pl.BlockSpec((tile, j), lambda i, jj: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i, jj: (i, 0)),
-            pl.BlockSpec((tile, j), lambda i, jj: (jj, 0)),
-            pl.BlockSpec((tile, j), lambda i, jj: (jj, 0)),
-            pl.BlockSpec((tile, 1), lambda i, jj: (jj, 0)),
+            pl.BlockSpec((1, j), lambda i, jj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((j, tile), lambda i, jj: (0, i)),
+            pl.BlockSpec((j, tile), lambda i, jj: (0, i)),
+            pl.BlockSpec((1, tile), lambda i, jj: (0, i)),
+            pl.BlockSpec((j, tile), lambda i, jj: (0, jj)),
+            pl.BlockSpec((j, tile), lambda i, jj: (0, jj)),
+            pl.BlockSpec((1, tile), lambda i, jj: (0, jj)),
         ],
         out_specs=pl.BlockSpec((tile, tile), lambda i, jj: (i, jj)),
         interpret=interpret,
-    )(xs.astype(jnp.float32), ys.astype(jnp.float32),
-      areas.astype(jnp.float32)[:, None],
-      xs.astype(jnp.float32), ys.astype(jnp.float32),
-      areas.astype(jnp.float32)[:, None])
+    )(ivars, xs_t, ys_t, a_row, xs_t, ys_t, a_row)
 
 
 def pairwise_iou_jnp(boxes):

@@ -126,7 +126,8 @@ def _last_output(outputs, multi_output: bool):
 
 
 def make_train_step(model, cfg, mesh, multi_output: bool,
-                    bn_stats: str = "device0", prepare=None) -> Callable:
+                    bn_stats: str = "device0", prepare=None,
+                    debug_outputs: bool = False) -> Callable:
     """Returns jitted ``(state, batch) -> (state, metrics)``.
 
     batch: {"image" (B,H,W,3), "target" (B,h,w,J), "target_weight" (B,J)}
@@ -170,12 +171,19 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
         valids = jax.lax.psum(valids, DATA_AXIS)
         per_joint, avg = _finalize_pck(hits, valids)
         metrics = {"loss": loss, "acc": avg, "per_joint_acc": per_joint}
+        if debug_outputs:
+            metrics["output"] = final
+            metrics["target"] = batch["target"]
         return state, metrics
 
+    metric_specs = {"loss": P(), "acc": P(), "per_joint_acc": P()}
+    if debug_outputs:
+        metric_specs["output"] = P(DATA_AXIS)
+        metric_specs["target"] = P(DATA_AXIS)
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), metric_specs),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -42,3 +42,10 @@ def imread(path: str, flags=None):
 def read_bytes(path: str) -> bytes:
     zip_path, inner = split_path(path)
     return _get_zip(zip_path).read(inner)
+
+
+def xmlread(path: str):
+    """Parse an XML file stored inside a zip archive (zipreader.py:49-70)."""
+    import xml.etree.ElementTree as ET
+
+    return ET.fromstring(read_bytes(path))

@@ -1,0 +1,4 @@
+#!/usr/bin/env bash
+set -e
+cd "$(dirname "$0")/../.."
+python -m fhpe_tpu.cli.train --cfg experiments/mpii/resnet/res50_256x256.yaml "$@"
