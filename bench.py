@@ -27,7 +27,7 @@ import numpy as np
 REFERENCE_TOTAL_IMGS_PER_SEC = 140.0   # documented estimate, see docstring
 NORTH_STAR_PER_CHIP = 2.0 * REFERENCE_TOTAL_IMGS_PER_SEC / 8.0
 
-BATCH = 32
+BATCH = 128  # per-chip; b=32 is latency-bound on v5e (b=128 ~2x img/s/chip)
 IMAGE = 256
 STACKS = 4
 FEATS = 128

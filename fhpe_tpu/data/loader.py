@@ -140,7 +140,7 @@ class PoseDataSource:
 
         trans = get_affine_transform(c, s, r, self.image_size)
         warped = cv2.warpAffine(
-            img, trans[:2].astype(np.float32),
+            img, trans,
             (int(self.image_size[0]), int(self.image_size[1])),
             flags=cv2.INTER_LINEAR)
 

@@ -32,7 +32,15 @@ def _third_point(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _solve_affine(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """2x3 affine T with T @ [src_i, 1]^T = dst_i for three point pairs."""
+    """2x3 affine T with T @ [src_i, 1]^T = dst_i for three point pairs.
+
+    Points are quantized to float32 before the float64 solve — exactly what
+    cv2.getAffineTransform does with the reference's float32 point arrays
+    (transforms.py:85-87); this keeps downstream cv2.warpAffine fixed-point
+    sampling bit-identical to the reference pipeline.
+    """
+    src = src.astype(np.float32).astype(np.float64)
+    dst = dst.astype(np.float32).astype(np.float64)
     a = np.concatenate([src, np.ones((3, 1))], axis=1)  # (3, 3)
     return np.linalg.solve(a, dst).T.astype(np.float64)  # (2, 3)
 

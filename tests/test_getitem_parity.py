@@ -1,0 +1,101 @@
+"""Eval-path sample parity against the reference JointsDataset.
+
+In eval mode (is_train=False) the reference __getitem__ has no randomness:
+read -> affine warp -> target generation (JointsDataset.py:113-198).  Run
+the actual reference class (as oracle) on the same synthetic db and require
+bit-identical warped images, joints, and targets from PoseDataSource.
+"""
+
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference/lib")
+
+# The reference dataset package imports json_tricks and pycocotools at
+# module scope; neither is needed for the JointsDataset base class under
+# test.  Stub them so the oracle imports in this environment.
+import json as _json
+import types as _types
+
+sys.modules.setdefault("json_tricks", _json)
+_pct = _types.ModuleType("pycocotools")
+_pct_coco = _types.ModuleType("pycocotools.coco")
+_pct_coco.COCO = object
+_pct_eval = _types.ModuleType("pycocotools.cocoeval")
+_pct_eval.COCOeval = object
+_pct.coco = _pct_coco
+_pct.cocoeval = _pct_eval
+sys.modules.setdefault("pycocotools", _pct)
+sys.modules.setdefault("pycocotools.coco", _pct_coco)
+sys.modules.setdefault("pycocotools.cocoeval", _pct_eval)
+# the reference nms package imports its compiled Cython extensions at module
+# scope (nms.py:13-14); stub them (the oracle path never calls them)
+_cy = _types.ModuleType("nms.cpu_nms")
+_cy.cpu_nms = lambda *a, **k: []
+_gy = _types.ModuleType("nms.gpu_nms")
+_gy.gpu_nms = lambda *a, **k: []
+sys.modules.setdefault("nms.cpu_nms", _cy)
+sys.modules.setdefault("nms.gpu_nms", _gy)
+
+from fhpe_tpu.config import get_default_config
+from fhpe_tpu.data import PoseDataSource, dataset_meta, make_synthetic_db
+
+
+def _ref_cfg():
+    return SimpleNamespace(
+        OUTPUT_DIR="",
+        DATASET=SimpleNamespace(
+            DATA_FORMAT="jpg", SCALE_FACTOR=0.25, ROT_FACTOR=30, FLIP=True,
+            NUM_JOINTS_HALF_BODY=8, PROB_HALF_BODY=-1.0, COLOR_RGB=False),
+        MODEL=SimpleNamespace(
+            TARGET_TYPE="gaussian", IMAGE_SIZE=[128, 128],
+            HEATMAP_SIZE=[32, 32], SIGMA=2),
+        LOSS=SimpleNamespace(USE_DIFFERENT_JOINTS_WEIGHT=False),
+    )
+
+
+def _our_cfg():
+    cfg = get_default_config()
+    cfg.MODEL.NUM_JOINTS = 16
+    cfg.MODEL.IMAGE_SIZE = [128, 128]
+    cfg.MODEL.HEATMAP_SIZE = [32, 32]
+    cfg.DATASET.COLOR_RGB = False
+    return cfg
+
+
+def test_eval_getitem_parity(tmp_path):
+    from dataset.JointsDataset import JointsDataset
+
+    db = make_synthetic_db(str(tmp_path), num_samples=6, image_hw=(180, 240))
+
+    ref = JointsDataset(_ref_cfg(), root="", image_set="valid",
+                        is_train=False, transform=None)
+    ref.num_joints = 16
+    meta = dataset_meta("mpii")
+    ref.flip_pairs = meta["flip_pairs"]
+    ref.upper_body_ids = meta["upper_body_ids"]
+    ref.lower_body_ids = meta["lower_body_ids"]
+    ref.aspect_ratio = 1.0
+    ref.db = [dict(r) for r in db]
+
+    ours = PoseDataSource(_our_cfg(), db, is_train=False,
+                          flip_pairs=meta["flip_pairs"],
+                          upper_body_ids=meta["upper_body_ids"])
+
+    for i in range(len(db)):
+        r_input, r_target, r_tw, r_meta = ref[i]
+        s = ours.get_sample(i, host_targets=True)
+
+        np.testing.assert_array_equal(s["image"], np.asarray(r_input))
+        np.testing.assert_allclose(s["joints"],
+                                   np.asarray(r_meta["joints"])[:, :2],
+                                   atol=1e-9)
+        # our target is NHWC; reference NCHW torch tensor
+        np.testing.assert_allclose(
+            np.transpose(s["target"], (2, 0, 1)), r_target.numpy(), atol=1e-6)
+        np.testing.assert_allclose(s["target_weight"],
+                                   r_tw.numpy()[:, 0], atol=0)
