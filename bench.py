@@ -76,12 +76,14 @@ def main() -> None:
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(state)
 
+    # Sync on the FULL train state: waiting on the scalar loss alone
+    # under-reports on this remote-attached backend (measured 13x inflation).
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
     imgs_per_sec_per_chip = b * ITERS / dt / n_chips

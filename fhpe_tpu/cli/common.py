@@ -87,22 +87,36 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
     return train_loader, val_loader, meta
 
 
-def device_batch(cfg, batch, mesh, for_eval=False):
-    """Host batch dict -> device arrays (sharded), minimal transfer set."""
+def train_batch_keys(cfg):
+    """Minimal host->device transfer set for a train step."""
     keys = ["image"]
     if cfg.TPU.DEVICE_PREPROCESS:
         keys += ["joints", "joints_vis"]
     else:
         keys += ["target", "target_weight"]
+    return keys
+
+
+def eval_batch_transform(cfg):
+    """Host batch -> device dict for the eval step (adds inverse affines)."""
+    keys = train_batch_keys(cfg)
+    hm_size = tuple(cfg.MODEL.HEATMAP_SIZE)
+
+    def tf(batch):
+        dev = {k: batch[k] for k in keys}
+        dev["inv_trans"] = make_inverse_transforms(batch["center"],
+                                                   batch["scale"], hm_size)
+        return dev
+
+    return tf
+
+
+def device_batch(cfg, batch, mesh, for_eval=False):
+    """Host batch dict -> device arrays (sharded), minimal transfer set."""
     if for_eval:
-        out = {k: jnp.asarray(batch[k]) for k in keys}
-        out["inv_trans"] = jnp.asarray(
-            make_inverse_transforms(batch["center"], batch["scale"],
-                                    tuple(cfg.MODEL.HEATMAP_SIZE)))
-        if cfg.TPU.DEVICE_PREPROCESS:
-            pass
-        return shard_batch(mesh, out)
-    return shard_batch(mesh, {k: jnp.asarray(batch[k]) for k in keys})
+        return shard_batch(mesh, eval_batch_transform(cfg)(batch))
+    return shard_batch(mesh, {k: jnp.asarray(batch[k])
+                              for k in train_batch_keys(cfg)})
 
 
 def validate(cfg, model, variables, val_loader, mesh, meta, logger,
@@ -124,9 +138,10 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
     losses, accs = AverageMeter(), AverageMeter()
     idx = 0
     t0 = time.time()
-    for batch in val_loader:
-        out = eval_step(variables, device_batch(cfg, batch, mesh,
-                                                for_eval=True))
+    from ..parallel.mesh import prefetch_to_device
+    for dev, batch in prefetch_to_device(iter(val_loader), mesh,
+                                         transform=eval_batch_transform(cfg)):
+        out = eval_step(variables, dev)
         valid = batch["valid"]
         n = int(valid.sum())
         preds = np.asarray(out["preds"])[:n]

@@ -36,12 +36,16 @@ import time
 
 def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
                         logger, writer=None, global_step=0):
+    from ..parallel.mesh import prefetch_to_device
+    from .common import train_batch_keys
+
     batch_time = AverageMeter()
     losses, pose_losses, kd_losses, accs = (AverageMeter(), AverageMeter(),
                                             AverageMeter(), AverageMeter())
     end = time.time()
-    for i, batch in enumerate(loader):
-        state, metrics = step_fn(state, tvars, device_batch(cfg, batch, mesh))
+    stream = prefetch_to_device(iter(loader), mesh, keys=train_batch_keys(cfg))
+    for i, (dev, batch) in enumerate(stream):
+        state, metrics = step_fn(state, tvars, dev)
         if i % cfg.PRINT_FREQ == 0:
             n = batch["image"].shape[0]
             batch_time.update(time.time() - end)

@@ -39,13 +39,17 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
     """One training epoch.  Set FHPE_PROFILE_DIR to capture a jax.profiler
     trace of steps 2-12 of epoch 0 (the reference offers wall-clock meters
     only; SURVEY.md section 5)."""
+    from ..parallel.mesh import prefetch_to_device
+    from .common import train_batch_keys
+
     profile_dir = os.environ.get("FHPE_PROFILE_DIR")
     batch_time, losses, accs = AverageMeter(), AverageMeter(), AverageMeter()
     end = time.time()
-    for i, batch in enumerate(loader):
+    stream = prefetch_to_device(iter(loader), mesh, keys=train_batch_keys(cfg))
+    for i, (dev, batch) in enumerate(stream):
         if profile_dir and epoch == 0 and i == 2:
             jax.profiler.start_trace(profile_dir)
-        state, metrics = step_fn(state, device_batch(cfg, batch, mesh))
+        state, metrics = step_fn(state, dev)
         if profile_dir and epoch == 0 and i == 12:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()

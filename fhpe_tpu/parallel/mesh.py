@@ -45,3 +45,35 @@ def shard_batch(mesh: Mesh, batch):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2, keys=None,
+                       transform=None):
+    """Wrap a host-batch iterator, keeping ``size`` batches in flight on
+    device (sharded on the data axis).  jax.device_put is async, so the
+    H2D copy of batch N+1 overlaps the compute of batch N — the TPU-side
+    equivalent of the reference DataLoader's pinned-memory prefetch
+    (tools/train.py:168-181).  Yields (device_batch, host_batch) pairs so
+    callers keep access to host-only fields (paths, centers, valid masks).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            host = next(iterator, None)
+            if host is None:
+                return
+            if transform is not None:
+                dev = transform(host)
+            else:
+                dev = {k: v for k, v in host.items()
+                       if (keys is None or k in keys)
+                       and isinstance(v, np.ndarray) and v.dtype != object}
+            queue.append((shard_batch(mesh, dev), host))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
