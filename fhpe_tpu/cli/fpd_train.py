@@ -35,7 +35,7 @@ import time
 
 
 def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
-                        logger, writer=None, global_step=0):
+                        logger, writer=None, global_step=0, output_dir=""):
     from ..parallel.mesh import prefetch_to_device
     from .common import train_batch_keys
 
@@ -67,6 +67,14 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
                 writer.add_scalar("train_kd_pose_loss", kd_losses.val,
                                   global_step)
                 writer.add_scalar("train_acc", accs.val, global_step)
+            if cfg.DEBUG.DEBUG and "output" in metrics:
+                import numpy as np
+                from ..utils.vis import save_debug_images
+                prefix = os.path.join(output_dir, f"fpd_{epoch}_{i}")
+                save_debug_images(cfg, batch["image"], batch["joints"],
+                                  batch["joints_vis"][..., None],
+                                  np.asarray(metrics["target"]),
+                                  np.asarray(metrics["output"]), prefix)
         end = time.time()
         global_step += 1
     return state, global_step
@@ -140,7 +148,8 @@ def main():
                if cfg.TPU.DEVICE_PREPROCESS else None)
     step_fn = make_fpd_train_step(
         student, teacher, cfg, mesh, is_multi_output(student),
-        is_multi_output(teacher), prepare=prepare)
+        is_multi_output(teacher), prepare=prepare,
+        debug_outputs=cfg.DEBUG.DEBUG)
     evaluate_fn = make_evaluate_fn(cfg)
 
     writer = None
@@ -166,7 +175,7 @@ def main():
         state = set_lr(state, lr_for_epoch(cfg, epoch))
         state, global_step = fpd_train_one_epoch(
             cfg, train_loader, step_fn, state, tvars, mesh, epoch, logger,
-            writer, global_step)
+            writer, global_step, output_dir)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         perf, *_ = validate(cfg, student, variables, val_loader, mesh, meta,

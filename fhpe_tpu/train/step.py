@@ -191,7 +191,8 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
 
 def make_fpd_train_step(model, teacher_model, cfg, mesh,
                         multi_output: bool, teacher_multi_output: bool,
-                        bn_stats: str = "device0", prepare=None) -> Callable:
+                        bn_stats: str = "device0", prepare=None,
+                        debug_outputs: bool = False) -> Callable:
     """FPD distillation step: ``(state, teacher_vars, batch) -> (state, metrics)``.
 
     ``teacher_vars`` = {"params", "batch_stats"} (frozen; eval-mode forward).
@@ -235,12 +236,20 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
         per_joint, avg = _finalize_pck(hits, valids)
         metrics = {"loss": loss, "pose_loss": pose, "kd_loss": kd,
                    "acc": avg, "per_joint_acc": per_joint}
+        if debug_outputs:
+            metrics["output"] = final
+            metrics["target"] = batch["target"]
         return state, metrics
 
+    metric_specs = {"loss": P(), "pose_loss": P(), "kd_loss": P(),
+                    "acc": P(), "per_joint_acc": P()}
+    if debug_outputs:
+        metric_specs["output"] = P(DATA_AXIS)
+        metric_specs["target"] = P(DATA_AXIS)
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), metric_specs),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
