@@ -27,9 +27,8 @@ from ..utils.checkpoint import (auto_resume, load_model_weights,
                                 save_checkpoint, save_final_state)
 from ..utils.logger import create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
-from .common import (build_loaders, device_batch, load_cfg_from_args,
+from .common import (build_loaders, load_cfg_from_args,
                      make_evaluate_fn, parse_args, validate)
-from .train import train_one_epoch as _normal_epoch
 from ..utils.logger import AverageMeter
 import time
 

@@ -30,7 +30,7 @@ from ..utils.checkpoint import (auto_resume, save_checkpoint,
 from ..utils.logger import AverageMeter, create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from ..utils.vis import save_debug_images
-from .common import (build_loaders, device_batch, load_cfg_from_args,
+from .common import (build_loaders, load_cfg_from_args,
                      make_evaluate_fn, parse_args, validate)
 
 

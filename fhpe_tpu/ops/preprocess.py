@@ -42,8 +42,6 @@ def normalize_images_jax(images, dtype=jnp.float32):
 def invert_affine_np(t: np.ndarray) -> np.ndarray:
     """Invert a (... , 2, 3) affine matrix (host-side, float64)."""
     t = np.asarray(t, dtype=np.float64)
-    a, b = np.broadcast_arrays(t[..., :, :2], t[..., :, :2])
-    del b
     lin = t[..., :, :2]
     off = t[..., :, 2]
     inv_lin = np.linalg.inv(lin)
