@@ -126,7 +126,7 @@ def _last_output(outputs, multi_output: bool):
 
 
 def make_train_step(model, cfg, mesh, multi_output: bool,
-                    bn_stats: str = "device0", prepare=None,
+                    bn_stats: str | None = None, prepare=None,
                     debug_outputs: bool = False) -> Callable:
     """Returns jitted ``(state, batch) -> (state, metrics)``.
 
@@ -139,6 +139,8 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
     use_ohkm = bool(cfg.LOSS.USE_OHKM)
     topk = int(cfg.LOSS.TOPK)
     prepare = prepare or _identity_prepare
+    if bn_stats is None:
+        bn_stats = cfg.TPU.get("BN_STATS", "device0")
 
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
@@ -191,7 +193,7 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
 
 def make_fpd_train_step(model, teacher_model, cfg, mesh,
                         multi_output: bool, teacher_multi_output: bool,
-                        bn_stats: str = "device0", prepare=None,
+                        bn_stats: str | None = None, prepare=None,
                         debug_outputs: bool = False) -> Callable:
     """FPD distillation step: ``(state, teacher_vars, batch) -> (state, metrics)``.
 
@@ -200,6 +202,8 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     alpha = float(cfg.KD.ALPHA)
     prepare = prepare or _identity_prepare
+    if bn_stats is None:
+        bn_stats = cfg.TPU.get("BN_STATS", "device0")
 
     def loss_fn(params, batch_stats, teacher_final, batch):
         outputs, mutated = model.apply(
