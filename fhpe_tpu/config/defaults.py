@@ -47,8 +47,8 @@ def _base() -> CfgNode:
     c.TPU.DONATE = True               # donate train-state buffers to the step
     c.TPU.DEVICE_PREPROCESS = True    # fused on-device warp + target generation
     # BatchNorm running stats under data parallelism: "device0" keeps the
-    # master replica's stats (nn.DataParallel-faithful), "mean" averages
-    # across devices (statistically nicer), "local" keeps per-device stats.
+    # master replica's stats (nn.DataParallel-faithful); "mean" averages
+    # across devices (statistically nicer).
     c.TPU.BN_STATS = "device0"
 
     c.MODEL = CfgNode()

@@ -20,7 +20,7 @@ BatchNorm under data parallelism: statistics are computed **per device**
 (DataParallel computes per-replica stats), and the running stats kept are
 device 0's — matching DataParallel, where only the master replica's buffer
 updates persist.  ``bn_stats="mean"`` (cross-device mean, statistically
-nicer) and ``"local"`` are also available.
+nicer) is also available.
 """
 
 from __future__ import annotations
@@ -125,6 +125,22 @@ def _last_output(outputs, multi_output: bool):
     return outputs[-1] if multi_output else outputs
 
 
+def _resolve_bn_stats(cfg, bn_stats):
+    """Resolve + validate the BN-stats reconciliation mode.
+
+    Only "device0" (DataParallel-faithful) and "mean" are valid under the
+    SPMD steps: state is emitted replicated (out_specs P()), so per-device
+    ("local") stats would silently yield unspecified values with
+    check_vma=False.
+    """
+    if bn_stats is None:
+        bn_stats = cfg.TPU.get("BN_STATS", "device0")
+    if bn_stats not in ("device0", "mean"):
+        raise ValueError(
+            f"TPU.BN_STATS must be 'device0' or 'mean', got '{bn_stats}'")
+    return bn_stats
+
+
 def make_train_step(model, cfg, mesh, multi_output: bool,
                     bn_stats: str | None = None, prepare=None,
                     debug_outputs: bool = False) -> Callable:
@@ -139,8 +155,7 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
     use_ohkm = bool(cfg.LOSS.USE_OHKM)
     topk = int(cfg.LOSS.TOPK)
     prepare = prepare or _identity_prepare
-    if bn_stats is None:
-        bn_stats = cfg.TPU.get("BN_STATS", "device0")
+    bn_stats = _resolve_bn_stats(cfg, bn_stats)
 
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
@@ -202,8 +217,7 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     alpha = float(cfg.KD.ALPHA)
     prepare = prepare or _identity_prepare
-    if bn_stats is None:
-        bn_stats = cfg.TPU.get("BN_STATS", "device0")
+    bn_stats = _resolve_bn_stats(cfg, bn_stats)
 
     def loss_fn(params, batch_stats, teacher_final, batch):
         outputs, mutated = model.apply(
