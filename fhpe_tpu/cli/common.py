@@ -106,6 +106,7 @@ def eval_batch_transform(cfg):
         dev = {k: batch[k] for k in keys}
         dev["inv_trans"] = make_inverse_transforms(batch["center"],
                                                    batch["scale"], hm_size)
+        dev["valid"] = batch["valid"].astype("float32")
         return dev
 
     return tf

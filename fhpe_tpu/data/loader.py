@@ -202,7 +202,10 @@ class BatchLoader:
         self.drop_last = drop_last
         self.host_targets = host_targets
         self.rng = np.random.RandomState(seed)
+        # Two pools: batch-level tasks block on sample-level tasks, so they
+        # must NOT share workers (num_threads <= prefetch would deadlock).
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.batch_pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
         self.prefetch = prefetch
 
     def __len__(self):
@@ -229,10 +232,10 @@ class BatchLoader:
         for _ in range(self.prefetch):
             idxs = next(it, None)
             if idxs is not None:
-                futures.append(self.pool.submit(self._load_batch, idxs))
+                futures.append(self.batch_pool.submit(self._load_batch, idxs))
         while futures:
             batch = futures.pop(0).result()
             idxs = next(it, None)
             if idxs is not None:
-                futures.append(self.pool.submit(self._load_batch, idxs))
+                futures.append(self.batch_pool.submit(self._load_batch, idxs))
             yield batch

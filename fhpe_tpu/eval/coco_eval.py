@@ -70,12 +70,22 @@ def compute_oks(gts, dts, sigmas=None) -> np.ndarray:
 
 
 def _evaluate_img(gts, dts, ious, area_rng, max_dets):
-    """Greedy matching for one (image, area range); returns match arrays."""
-    gts = sorted(gts, key=lambda g: g["_ignore"])
-    gt_ig = np.array([
+    """Greedy matching for one (image, area range); returns match arrays.
+
+    COCOeval-protocol details that matter here:
+    * gts sort by the AREA-AWARE ignore flag (base ignore OR outside this
+      range) so the ignore-last early-break is valid per range;
+    * an already-matched **crowd** gt may be matched again (subsequent dets
+      overlapping a crowd region are ignored, not false positives).
+    """
+    gt_ig_flag = [
         1 if (g["_ignore"] or g["area"] < area_rng[0]
               or g["area"] > area_rng[1]) else 0
-        for g in gts])
+        for g in gts]
+    order = sorted(range(len(gts)), key=lambda i: gt_ig_flag[i])
+    gts = [gts[i] for i in order]
+    gt_ig = np.array([gt_ig_flag[i] for i in order])
+    gt_crowd = np.array([int(g.get("iscrowd", 0)) for g in gts])
     dts = sorted(dts, key=lambda d: -d["score"])[:max_dets]
     # ious was computed in original gt order; reorder columns
     if len(ious):
@@ -90,7 +100,7 @@ def _evaluate_img(gts, dts, ious, area_rng, max_dets):
             iou = min(thr, 1 - 1e-10)
             m = -1
             for gi in range(G):
-                if gtm[t, gi] >= 0:
+                if gtm[t, gi] >= 0 and not gt_crowd[gi]:
                     continue
                 if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
                     break  # gts sorted ignore-last; no better match ahead

@@ -33,7 +33,7 @@ def generate_target_np(joints, joints_vis, heatmap_size, image_size, sigma,
     w, h = int(heatmap_size[0]), int(heatmap_size[1])
     stride = (np.asarray(image_size, dtype=np.float64)
               / np.asarray(heatmap_size, dtype=np.float64))
-    tmp_size = sigma * 3
+    tmp_size = sigma * 3  # float when sigma is float, as in the reference
 
     target = np.zeros((num_joints, h, w), dtype=np.float32)
     target_weight = np.ones((num_joints, 1), dtype=np.float32)
@@ -42,8 +42,10 @@ def generate_target_np(joints, joints_vis, heatmap_size, image_size, sigma,
     for j in range(num_joints):
         mu_x = int(joints[j][0] / stride[0] + 0.5)
         mu_y = int(joints[j][1] / stride[1] + 0.5)
-        ul = [mu_x - tmp_size, mu_y - tmp_size]
-        br = [mu_x + tmp_size + 1, mu_y + tmp_size + 1]
+        # int() placement matches JointsDataset.py:258-259 exactly (matters
+        # for non-integer sigma)
+        ul = [int(mu_x - tmp_size), int(mu_y - tmp_size)]
+        br = [int(mu_x + tmp_size + 1), int(mu_y + tmp_size + 1)]
         if ul[0] >= w or ul[1] >= h or br[0] < 0 or br[1] < 0:
             target_weight[j] = 0
             continue
@@ -83,6 +85,12 @@ def generate_target_jax(joints, joints_vis, heatmap_size, image_size, sigma,
     (the window Gaussian is centered at ``mu``), and zero outside — so a
     full-grid evaluation masked to ``|p - mu| <= 3 sigma`` is exact.
     """
+    if float(sigma) != int(sigma):
+        raise ValueError(
+            "generate_target_jax supports integer MODEL.SIGMA only (the "
+            "masked-window formulation is exact for integer sigma; all "
+            "shipped configs use SIGMA=2). Use host targets "
+            "(generate_target_np) for fractional sigma.")
     w, h = int(heatmap_size[0]), int(heatmap_size[1])
     sx = float(image_size[0]) / float(heatmap_size[0])
     sy = float(image_size[1]) / float(heatmap_size[1])

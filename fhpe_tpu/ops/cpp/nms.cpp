@@ -18,11 +18,12 @@
 namespace {
 
 struct ScoreOrder {
-    static std::vector<int64_t> argsort_desc(const float* scores, int64_t n) {
+    // Tie-break matches numpy argsort()[::-1]: equal scores come out in
+    // DECREASING index order (ascending stable sort, then reversed).
+    template <typename T>
+    static std::vector<int64_t> argsort_desc(const T* scores, int64_t n) {
         std::vector<int64_t> order(n);
         std::iota(order.begin(), order.end(), 0);
-        // Tie-break matches numpy argsort()[::-1]: equal scores come out in
-        // DECREASING index order (ascending stable sort, then reversed).
         std::stable_sort(order.begin(), order.end(),
                          [scores](int64_t a, int64_t b) {
                              if (scores[a] != scores[b])
@@ -90,9 +91,9 @@ int64_t fhpe_oks_nms(const double* kpts, const double* scores,
         double s = sigmas[j] * 2.0;
         vars[j] = s * s;
     }
-    std::vector<float> fscores(n);
-    for (int64_t i = 0; i < n; ++i) fscores[i] = (float)scores[i];
-    std::vector<int64_t> order = ScoreOrder::argsort_desc(fscores.data(), n);
+    // sort the doubles directly: a float32 round-trip can reorder
+    // near-tied rescored detections vs the numpy oracle
+    std::vector<int64_t> order = ScoreOrder::argsort_desc(scores, n);
     std::vector<uint8_t> suppressed(n, 0);
     const double eps = 2.220446049250313e-16;  // np.spacing(1)
 

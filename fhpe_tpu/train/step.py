@@ -95,20 +95,35 @@ def _select_device0(tree, axis):
     )
 
 
-def _pck_counts(output, target):
+def _pck_counts(output, target, sample_mask=None):
     """Local (hits, valids) per joint for the global-PCK meter.
 
     output/target NHWC.  Matches accuracy semantics (eval/pck.py) but
-    returns summable counts so devices combine exactly.
+    returns summable counts so devices combine exactly.  ``sample_mask``
+    (B,) excludes padded rows of the dataset tail.
     """
     pred, _ = get_max_preds_jax(output)
     gt, _ = get_max_preds_jax(target)
     h, w = output.shape[1], output.shape[2]
     norm = jnp.array([h / 10.0, w / 10.0], dtype=jnp.float32)
     valid = (gt[..., 0] > 1) & (gt[..., 1] > 1)
+    if sample_mask is not None:
+        valid = valid & (sample_mask > 0)[:, None]
     d = jnp.linalg.norm((pred - gt) / norm, axis=-1)
     hit = (d < 0.5) & valid
     return jnp.sum(hit, axis=0), jnp.sum(valid, axis=0)  # (J,), (J,)
+
+
+def _per_sample_loss(output, target, target_weight, use_ohkm, topk):
+    """Per-sample criterion value (B,), reference loss semantics per row."""
+    diff = output - target
+    if target_weight is not None:
+        diff = diff * target_weight[:, None, None, :]
+    if use_ohkm:
+        per_joint = 0.5 * jnp.mean(jnp.square(diff), axis=(-3, -2))  # (B, J)
+        top, _ = jax.lax.top_k(per_joint, topk)
+        return jnp.sum(top, axis=-1) / topk
+    return 0.5 * jnp.mean(jnp.square(diff), axis=(-3, -2, -1))
 
 
 def _finalize_pck(hits, valids):
@@ -283,6 +298,8 @@ def make_eval_step(model, cfg, mesh, multi_output: bool,
     back to the host, meters reduced across devices.
     """
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    use_ohkm = bool(cfg.LOSS.USE_OHKM)
+    topk = int(cfg.LOSS.TOPK)
     flip_test = bool(cfg.TEST.FLIP_TEST)
     shift_heatmap = bool(cfg.TEST.SHIFT_HEATMAP)
     post_process = bool(cfg.TEST.POST_PROCESS)
@@ -309,12 +326,22 @@ def make_eval_step(model, cfg, mesh, multi_output: bool,
             output = (output + flipped) * 0.5
 
         tw = batch["target_weight"] if use_tw else None
-        loss = stacked_mse_loss(output, batch["target"], tw)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
+        # mask out padded dataset-tail rows from the meters; the criterion
+        # matches training (OHKM when enabled), as the reference's validate
+        # uses the train criterion (function.py:245)
+        mask = batch.get("valid")
+        if mask is None:
+            mask = jnp.ones(output.shape[0], jnp.float32)
+        mask = mask.astype(jnp.float32)
+        per_sample = _per_sample_loss(output, batch["target"], tw,
+                                      use_ohkm, topk)
+        loss_sum = jax.lax.psum(jnp.sum(per_sample * mask), DATA_AXIS)
+        n_valid = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        loss = loss_sum / jnp.maximum(n_valid, 1.0)
 
         preds, maxvals = decode_heatmaps_jax(output, batch["inv_trans"],
                                              post_process)
-        hits, valids = _pck_counts(output, batch["target"])
+        hits, valids = _pck_counts(output, batch["target"], mask)
         hits = jax.lax.psum(hits, DATA_AXIS)
         valids = jax.lax.psum(valids, DATA_AXIS)
         return {"preds": preds, "maxvals": maxvals, "loss": loss,

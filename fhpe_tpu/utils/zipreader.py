@@ -17,7 +17,9 @@ _cache: dict = {}
 def split_path(path: str):
     pos = path.index("@")
     zip_path = path[:pos - 1] if path[pos - 1] == os.sep else path[:pos]
-    inner = path[pos + 1:]
+    # paths are built like ".../train2017.zip@/name.jpg" (os.path.join adds
+    # the separator after '@'); zip entries are archive-relative
+    inner = path[pos + 1:].lstrip("/")
     return zip_path, inner
 
 
