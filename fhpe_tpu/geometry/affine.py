@@ -26,23 +26,37 @@ def _rotate(point: np.ndarray, rad: float) -> np.ndarray:
 
 
 def _third_point(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Third corner completing a right triangle: b + perp(a - b)."""
+    """Third corner completing a right triangle: b + perp(a - b).
+
+    Arithmetic happens in the inputs' dtype (float32 in the transform
+    construction) to mirror the reference's get_3rd_point exactly.
+    """
     d = a - b
-    return b + np.array([-d[1], d[0]], dtype=np.float64)
+    return b + np.array([-d[1], d[0]], dtype=d.dtype)
 
 
 def _solve_affine(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """2x3 affine T with T @ [src_i, 1]^T = dst_i for three point pairs.
 
-    Points are quantized to float32 before the float64 solve — exactly what
-    cv2.getAffineTransform does with the reference's float32 point arrays
-    (transforms.py:85-87); this keeps downstream cv2.warpAffine fixed-point
-    sampling bit-identical to the reference pipeline.
+    Points are quantized to float32 first — exactly what
+    cv2.getAffineTransform receives from the reference's float32 point
+    arrays (transforms.py:85-87).  When cv2 is importable its solver is
+    used so downstream cv2.warpAffine fixed-point sampling is BIT-identical
+    to the reference pipeline (LU pivoting order differs from numpy's at
+    the ~1e-13 level, which can flip isolated pixels at exact-half sample
+    boundaries); the closed-form float64 solve is the dependency-free
+    fallback.
     """
-    src = src.astype(np.float32).astype(np.float64)
-    dst = dst.astype(np.float32).astype(np.float64)
-    a = np.concatenate([src, np.ones((3, 1))], axis=1)  # (3, 3)
-    return np.linalg.solve(a, dst).T.astype(np.float64)  # (2, 3)
+    src32 = src.astype(np.float32)
+    dst32 = dst.astype(np.float32)
+    try:
+        import cv2
+        return np.asarray(cv2.getAffineTransform(src32, dst32),
+                          dtype=np.float64)
+    except ImportError:
+        a = np.concatenate([src32.astype(np.float64), np.ones((3, 1))],
+                           axis=1)  # (3, 3)
+        return np.linalg.solve(a, dst32.astype(np.float64)).T
 
 
 def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0), inv=False):
@@ -68,8 +82,12 @@ def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0), inv=
     src_dir = _rotate(np.array([0.0, src_w * -0.5]), rot_rad)
     dst_dir = np.array([0.0, dst_w * -0.5])
 
-    src = np.zeros((3, 2), dtype=np.float64)
-    dst = np.zeros((3, 2), dtype=np.float64)
+    # Precision flow matches the reference exactly (transforms.py:74-82):
+    # rows 0/1 are float64 expressions stored into float32 arrays, and the
+    # third point is derived FROM the stored float32 values in float32
+    # arithmetic — this matters for bit-identical cv2.warpAffine sampling.
+    src = np.zeros((3, 2), dtype=np.float32)
+    dst = np.zeros((3, 2), dtype=np.float32)
     src[0] = center + box * shift
     src[1] = center + src_dir + box * shift
     src[2] = _third_point(src[0], src[1])
