@@ -74,19 +74,27 @@ def main() -> None:
         "target_weight": jnp.ones((b, JOINTS), jnp.float32),
     })
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(state)
+    # Differenced timing with a real value fetch: time N1 and N2 chained
+    # steps each ended by materializing the final loss (which forces the
+    # whole dependent chain to complete), then difference to cancel the
+    # constant fetch/relay overhead.  block_until_ready alone is not
+    # reliable on remote-attached backends (13x scatter observed);
+    # differencing reproduces within <1% across trials.
+    def run(n):
+        st = jax.tree_util.tree_map(jnp.array, state)
+        m = None
+        for _ in range(WARMUP):
+            st, m = step(st, batch)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, m = step(st, batch)
+        float(m["loss"])
+        return time.perf_counter() - t0
 
-    # Sync on the FULL train state: waiting on the scalar loss alone
-    # under-reports on this remote-attached backend (measured 13x inflation).
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec_per_chip = b * ITERS / dt / n_chips
+    n1, n2 = ITERS, ITERS * 4
+    per_step = (run(n2) - run(n1)) / (n2 - n1)
+    imgs_per_sec_per_chip = b / per_step / n_chips
     print(json.dumps({
         "metric": "hourglass_s4_f128_mpii256_train_images_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 2),
