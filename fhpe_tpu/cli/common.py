@@ -89,6 +89,8 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
 
 def train_batch_keys(cfg):
     """Minimal host->device transfer set for a train step."""
+    if cfg.TPU.get("DEVICE_WARP", False):
+        return ["canvas", "warp_inv", "joints", "joints_vis"]
     keys = ["image"]
     if cfg.TPU.DEVICE_PREPROCESS:
         keys += ["joints", "joints_vis"]
@@ -98,8 +100,16 @@ def train_batch_keys(cfg):
 
 
 def eval_batch_transform(cfg):
-    """Host batch -> device dict for the eval step (adds inverse affines)."""
-    keys = train_batch_keys(cfg)
+    """Host batch -> device dict for the eval step (adds inverse affines).
+
+    Eval always ships host-warped images (bit-parity with the reference),
+    even when TPU.DEVICE_WARP accelerates training batches.
+    """
+    keys = ["image"]
+    if cfg.TPU.DEVICE_PREPROCESS:
+        keys += ["joints", "joints_vis"]
+    else:
+        keys += ["target", "target_weight"]
     hm_size = tuple(cfg.MODEL.HEATMAP_SIZE)
 
     def tf(batch):

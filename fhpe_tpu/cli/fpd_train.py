@@ -46,7 +46,7 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
     for i, (dev, batch) in enumerate(stream):
         state, metrics = step_fn(state, tvars, dev)
         if i % cfg.PRINT_FREQ == 0:
-            n = batch["image"].shape[0]
+            n = batch["joints"].shape[0]
             batch_time.update(time.time() - end)
             losses.update(float(metrics["loss"]), n)
             pose_losses.update(float(metrics["pose_loss"]), n)
@@ -66,7 +66,7 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
                 writer.add_scalar("train_kd_pose_loss", kd_losses.val,
                                   global_step)
                 writer.add_scalar("train_acc", accs.val, global_step)
-            if cfg.DEBUG.DEBUG and "output" in metrics:
+            if cfg.DEBUG.DEBUG and "output" in metrics and "image" in batch:
                 import numpy as np
                 from ..utils.vis import save_debug_images
                 prefix = os.path.join(output_dir, f"fpd_{epoch}_{i}")

@@ -57,7 +57,7 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
         if i % cfg.PRINT_FREQ == 0:
             loss = float(metrics["loss"])
             acc = float(metrics["acc"])
-            n = batch["image"].shape[0]
+            n = batch["joints"].shape[0]
             batch_time.update(time.time() - end)
             losses.update(loss, n)
             accs.update(acc, n)
@@ -70,7 +70,7 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
             if writer is not None:
                 writer.add_scalar("train_loss", loss, global_step)
                 writer.add_scalar("train_acc", acc, global_step)
-            if cfg.DEBUG.DEBUG and "output" in metrics:
+            if cfg.DEBUG.DEBUG and "output" in metrics and "image" in batch:
                 prefix = os.path.join(output_dir, f"train_{epoch}_{i}")
                 save_debug_images(cfg, batch["image"], batch["joints"],
                                   batch["joints_vis"][..., None],

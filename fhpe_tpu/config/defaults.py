@@ -45,7 +45,15 @@ def _base() -> CfgNode:
     c.TPU.MESH_AXIS = "data"          # 1-D data-parallel mesh axis name
     c.TPU.NUM_DEVICES = -1            # -1 = use all visible devices
     c.TPU.DONATE = True               # donate train-state buffers to the step
-    c.TPU.DEVICE_PREPROCESS = True    # fused on-device warp + target generation
+    c.TPU.DEVICE_PREPROCESS = True    # fused on-device normalize + target gen
+    # Opt-in: move the affine crop/rotate/flip warp itself on device too.
+    # The host then ships fixed-size letterboxed canvases (uint8) plus
+    # composed output->canvas affines, and the step warps with the batched
+    # bilinear kernel (ops/preprocess.warp_affine_jax).  Trades bit-parity
+    # with the reference's cv2 warp (one extra resampling through the
+    # canvas) for a host pipeline that only decodes + resizes.
+    c.TPU.DEVICE_WARP = False
+    c.TPU.CANVAS_SIZE = [512, 512]    # width, height of the letterbox canvas
     # BatchNorm running stats under data parallelism: "device0" keeps the
     # master replica's stats (nn.DataParallel-faithful); "mean" averages
     # across devices (statistically nicer).

@@ -76,6 +76,15 @@ def half_body_transform(joints, joints_vis, num_joints, upper_body_ids,
     return center, scale
 
 
+def compose_mirror(inv_trans: np.ndarray, width_used: float) -> np.ndarray:
+    """Prepend a horizontal mirror (about ``width_used`` pixels) to a
+    dst->src affine: src_x' = (width_used - 1) - src_x."""
+    m = np.array([[-1.0, 0.0, width_used - 1.0],
+                  [0.0, 1.0, 0.0]], dtype=np.float64)
+    homo = np.concatenate([inv_trans, [[0.0, 0.0, 1.0]]], axis=0)
+    return (m @ homo).astype(np.float64)
+
+
 class PoseDataSource:
     """db -> augmented fixed-size samples (the __getitem__ equivalent)."""
 
@@ -100,6 +109,8 @@ class PoseDataSource:
         self.prob_half_body = cfg.DATASET.PROB_HALF_BODY
         self.color_rgb = cfg.DATASET.COLOR_RGB
         self.use_diff_weight = cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT
+        self.device_warp = bool(cfg.TPU.get("DEVICE_WARP", False))
+        self.canvas_size = tuple(cfg.TPU.get("CANVAS_SIZE", [512, 512]))
         self.rng = np.random.RandomState(seed)
         self.pyrng = pyrandom.Random(seed)
 
@@ -133,23 +144,53 @@ class PoseDataSource:
                  if self.pyrng.random() <= 0.6 else 0)
 
             if self.flip and self.pyrng.random() <= 0.5:
-                img = img[:, ::-1, :]
+                flipped = True
+                if not self.device_warp:
+                    img = img[:, ::-1, :]
                 joints, joints_vis = fliplr_joints(
                     joints, joints_vis, img.shape[1], self.flip_pairs)
                 c[0] = img.shape[1] - c[0] - 1
+            else:
+                flipped = False
+        else:
+            flipped = False
 
         trans = get_affine_transform(c, s, r, self.image_size)
-        warped = cv2.warpAffine(
-            img, trans,
-            (int(self.image_size[0]), int(self.image_size[1])),
-            flags=cv2.INTER_LINEAR)
+
+        # device-warp applies to training only; eval keeps the bit-parity
+        # host cv2 warp (decode/metrics comparability with the reference)
+        if self.device_warp and self.is_train:
+            # Device-warp mode: ship a fixed-size letterboxed canvas + the
+            # composed output->canvas affine; the warp itself runs on TPU
+            # (ops/preprocess.warp_affine_jax inside the step).  The flip
+            # folds into the matrix (pixels are never flipped on host).
+            wc, hc = self.canvas_size
+            h_img, w_img = img.shape[:2]
+            fit = min(wc / w_img, hc / h_img)
+            rw, rh = int(round(w_img * fit)), int(round(h_img * fit))
+            canvas = np.zeros((hc, wc, 3), np.uint8)
+            canvas[:rh, :rw] = cv2.resize(img, (rw, rh),
+                                          interpolation=cv2.INTER_LINEAR)
+            inv = get_affine_transform(c, s, r, self.image_size, inv=True)
+            if flipped:
+                inv = compose_mirror(inv, w_img)
+            # source -> canvas coords: multiply by the per-axis fit scale
+            warp_inv = inv * np.array([[rw / w_img], [rh / h_img]])
+            image_field = {"canvas": canvas,
+                           "warp_inv": warp_inv.astype(np.float32)}
+        else:
+            warped = cv2.warpAffine(
+                img, trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
+                flags=cv2.INTER_LINEAR)
+            image_field = {"image": np.ascontiguousarray(warped)}  # uint8
 
         for i in range(self.num_joints):
             if joints_vis[i, 0] > 0.0:
                 joints[i, 0:2] = affine_transform(joints[i, 0:2], trans)
 
         sample = {
-            "image": np.ascontiguousarray(warped),  # uint8 HWC
+            **image_field,
             "joints": joints[:, :2].astype(np.float32),
             "joints_vis": joints_vis[:, 0].astype(np.float32),
             "center": c.astype(np.float32),

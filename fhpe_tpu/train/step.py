@@ -37,7 +37,7 @@ from jax import shard_map
 from ..geometry.flip import flip_back_jax
 from ..geometry.targets import generate_target_jax
 from ..ops.decode import decode_heatmaps_jax, get_max_preds_jax
-from ..ops.preprocess import normalize_images_jax
+from ..ops.preprocess import normalize_images_jax, warp_affine_jax
 from ..parallel.mesh import DATA_AXIS
 from .loss import fpd_loss, stacked_mse_loss, stacked_ohkm_loss
 from .state import TrainState
@@ -61,16 +61,24 @@ def make_batch_preprocessor(cfg, joints_weight=None):
         jw = jnp.asarray(np.asarray(joints_weight).reshape(-1))
 
     def prepare(batch):
-        if "target" in batch:
-            return batch
         out = dict(batch)
-        out["image"] = normalize_images_jax(batch["image"])
-        target, tw = generate_target_jax(
-            batch["joints"], batch["joints_vis"], hm_size, img_size, sigma,
-            joints_weight=jw, use_different_joints_weight=use_diff)
-        # targets NHWC to match model output layout
-        out["target"] = jnp.transpose(target, (0, 2, 3, 1))
-        out["target_weight"] = tw
+        if "canvas" in batch:
+            # TPU.DEVICE_WARP: batched bilinear crop from the letterbox
+            # canvas, fused with normalize + target stamping below
+            warped = warp_affine_jax(batch["canvas"], batch["warp_inv"],
+                                     img_size)
+            out["image"] = normalize_images_jax(warped)
+        elif "target" in batch:
+            return batch
+        else:
+            out["image"] = normalize_images_jax(batch["image"])
+        if "target" not in batch:
+            target, tw = generate_target_jax(
+                batch["joints"], batch["joints_vis"], hm_size, img_size,
+                sigma, joints_weight=jw, use_different_joints_weight=use_diff)
+            # targets NHWC to match model output layout
+            out["target"] = jnp.transpose(target, (0, 2, 3, 1))
+            out["target_weight"] = tw
         return out
 
     return prepare
