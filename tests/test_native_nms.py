@@ -94,3 +94,19 @@ def test_device_oks_nms_pallas_path():
     rng = np.random.RandomState(5)
     db = _random_kpts_db(rng, n=10)
     assert oks_nms_device(db, 0.9, use_pallas=True) == oks_nms(db, 0.9)
+
+
+def test_pallas_decode_matches_jax():
+    from fhpe_tpu.ops.decode import get_max_preds_jax, quarter_offset_jax
+    from fhpe_tpu.ops.decode_pallas import decode_pallas
+
+    rng = np.random.RandomState(7)
+    hm = rng.randn(6, 64, 48, 17).astype(np.float32)
+    hm[0, :, :, 0] = 0.0                     # all-tie row -> first index
+    hm[1, :, :, 1] = -np.abs(hm[1, :, :, 1])  # non-positive max -> masked
+    hmj = jnp.asarray(hm)
+    ref_c, ref_v = get_max_preds_jax(hmj)
+    ref_c = quarter_offset_jax(ref_c, hmj)
+    got_c, got_v = decode_pallas(hmj)
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
