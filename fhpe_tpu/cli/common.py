@@ -15,14 +15,13 @@ import time
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..config import load_config
 from ..data import BatchLoader, PoseDataSource, build_db, dataset_meta
 from ..geometry.flip import flip_pair_permutation
 from ..ops.decode import make_inverse_transforms
-from ..parallel.mesh import get_mesh, shard_batch
+from ..parallel.mesh import shard_batch
 from ..train.step import make_batch_preprocessor, make_eval_step
 from ..utils.logger import AverageMeter, print_name_value
 

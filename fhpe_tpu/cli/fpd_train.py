@@ -18,7 +18,6 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..config import load_config
 from ..models import get_pose_net, is_multi_output
 from ..parallel.mesh import get_mesh
 from ..train.state import create_train_state, lr_for_epoch, set_lr

@@ -20,7 +20,6 @@ the raw image is flipped and the center mirrored before the affine
 
 from __future__ import annotations
 
-import os
 import random as pyrandom
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional

@@ -10,7 +10,6 @@ through the same mesh with no code change.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

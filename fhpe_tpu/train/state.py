@@ -17,9 +17,8 @@ Optimizer parity (utils.py:59-75):
 from __future__ import annotations
 
 import bisect
-from typing import Any, Callable
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -25,7 +25,6 @@ nicer) is also available.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -19,7 +19,6 @@ on random inputs and compares forwards.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Tuple
 
 import numpy as np

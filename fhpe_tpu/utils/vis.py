@@ -9,7 +9,6 @@ batches (uint8 images or normalized floats).
 from __future__ import annotations
 
 import math
-import os
 
 import numpy as np
 
