@@ -146,3 +146,31 @@ def test_mpii_evaluate_pckh(tmp_path):
     preds_bad = np.transpose(pos_gt, (2, 0, 1)) - 1 + 40
     _, perf_bad = mpii_evaluate(cfg, preds_bad, None)
     assert perf_bad == pytest.approx(0.0)
+
+
+def test_detection_bbox_db(tmp_path):
+    """USE_GT_BBOX=False path: detector results JSON -> eval db."""
+    import json as _json
+    from fhpe_tpu.data.coco import build_detection_db
+
+    dets = [
+        {"image_id": 42, "category_id": 1, "bbox": [10.0, 20.0, 100.0, 200.0],
+         "score": 0.9},
+        {"image_id": 42, "category_id": 1, "bbox": [5.0, 5.0, 50.0, 60.0],
+         "score": 0.05},   # below IMAGE_THRE
+        {"image_id": 43, "category_id": 3, "bbox": [0, 0, 10, 10],
+         "score": 0.9},    # not a person
+    ]
+    bbox_file = tmp_path / "dets.json"
+    bbox_file.write_text(_json.dumps(dets))
+
+    db = build_detection_db("/root/x", "val2017", str(bbox_file),
+                            aspect_ratio=192 / 256, image_thre=0.1)
+    assert len(db) == 1
+    rec = db[0]
+    assert rec["image"].endswith("000000000042.jpg")
+    assert rec["score"] == 0.9
+    # bbox center; aspect-corrected scale * 1.25 / 200
+    np.testing.assert_allclose(rec["center"], [60.0, 120.0])
+    np.testing.assert_allclose(rec["scale"][1], 200.0 * 1.25 / 200.0)
+    assert rec["joints_3d_vis"].all()
