@@ -195,6 +195,7 @@ class PoseDataSource:
             "center": c.astype(np.float32),
             "scale": s.astype(np.float32),
             "rotation": np.float32(r),
+            "flipped": np.bool_(flipped),
             "score": np.float32(score),
             "image_path": rec["image"],
         }

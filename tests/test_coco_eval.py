@@ -60,10 +60,13 @@ def test_perfect_detections_ap1(tmp_path):
 
 
 def test_no_detections(tmp_path):
+    """Empty detections with gts present -> AP/AR exactly 0 (pinned
+    convention; -1 is reserved for 'no evaluable gts')."""
     ann_file, _ = _fake_coco(tmp_path)
     ev = CocoKeypointEval(CocoIndex(ann_file))
     stats = dict(ev.evaluate([]))
-    assert stats["AP"] == pytest.approx(0.0) or stats["AP"] == -1.0
+    assert stats["AP"] == 0.0
+    assert stats["AR"] == 0.0
 
 
 def test_jittered_detections_between(tmp_path):

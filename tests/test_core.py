@@ -25,7 +25,6 @@ from fhpe_tpu.ops.decode import (
 )
 from fhpe_tpu.eval.pck import accuracy_jax, accuracy_np
 
-RNG = np.random.RandomState(0)
 
 
 def _ref_mse(output, target, weight=None):
@@ -48,9 +47,10 @@ def _nchw(x):
 
 
 def test_mse_loss_matches_reference():
-    out = RNG.randn(4, 16, 16, 8).astype(np.float32)   # NHWC
-    tgt = RNG.randn(4, 16, 16, 8).astype(np.float32)
-    w = (RNG.rand(4, 8) > 0.3).astype(np.float32)
+    rng = np.random.RandomState(10)
+    out = rng.randn(4, 16, 16, 8).astype(np.float32)   # NHWC
+    tgt = rng.randn(4, 16, 16, 8).astype(np.float32)
+    w = (rng.rand(4, 8) > 0.3).astype(np.float32)
     ours = float(joints_mse_loss(jnp.asarray(out), jnp.asarray(tgt), jnp.asarray(w)))
     ref = _ref_mse(_nchw(out), _nchw(tgt), w)
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
@@ -60,8 +60,9 @@ def test_mse_loss_matches_reference():
 
 
 def test_stacked_mse_sums_stacks():
-    out = RNG.randn(3, 2, 8, 8, 4).astype(np.float32)  # (S, B, H, W, J)
-    tgt = RNG.randn(2, 8, 8, 4).astype(np.float32)
+    rng = np.random.RandomState(11)
+    out = rng.randn(3, 2, 8, 8, 4).astype(np.float32)  # (S, B, H, W, J)
+    tgt = rng.randn(2, 8, 8, 4).astype(np.float32)
     w = np.ones((2, 4), np.float32)
     total = float(stacked_mse_loss(jnp.asarray(out), jnp.asarray(tgt), jnp.asarray(w)))
     ref = sum(_ref_mse(_nchw(out[s]), _nchw(tgt), w) for s in range(3))
@@ -69,9 +70,10 @@ def test_stacked_mse_sums_stacks():
 
 
 def test_ohkm_loss_matches_reference():
-    out = RNG.randn(4, 8, 8, 16).astype(np.float32)
-    tgt = RNG.randn(4, 8, 8, 16).astype(np.float32)
-    w = (RNG.rand(4, 16) > 0.2).astype(np.float32)
+    rng = np.random.RandomState(12)
+    out = rng.randn(4, 8, 8, 16).astype(np.float32)
+    tgt = rng.randn(4, 8, 8, 16).astype(np.float32)
+    w = (rng.rand(4, 16) > 0.2).astype(np.float32)
     topk = 8
     # reference: per-sample top-k of per-joint mean losses (loss.py:49-59)
     o, t = _nchw(out), _nchw(tgt)
@@ -87,9 +89,10 @@ def test_ohkm_loss_matches_reference():
 
 
 def test_fpd_loss_mixing():
-    s_out = RNG.randn(2, 3, 8, 8, 4).astype(np.float32)  # stacks=2
-    teacher = RNG.randn(3, 8, 8, 4).astype(np.float32)
-    tgt = RNG.randn(3, 8, 8, 4).astype(np.float32)
+    rng = np.random.RandomState(13)
+    s_out = rng.randn(2, 3, 8, 8, 4).astype(np.float32)  # stacks=2
+    teacher = rng.randn(3, 8, 8, 4).astype(np.float32)
+    tgt = rng.randn(3, 8, 8, 4).astype(np.float32)
     w = np.ones((3, 4), np.float32)
     alpha = 0.3
     total, pose, kd = fpd_loss(jnp.asarray(s_out), jnp.asarray(teacher),
@@ -102,8 +105,8 @@ def test_fpd_loss_mixing():
                                (1 - alpha) * ref_pose + alpha * ref_kd, rtol=1e-5)
 
 
-def _random_heatmaps(b=3, j=5, h=16, w=12, ties=True):
-    hm = RNG.randn(b, j, h, w).astype(np.float32)
+def _random_heatmaps(rng, b=3, j=5, h=16, w=12, ties=True):
+    hm = rng.randn(b, j, h, w).astype(np.float32)
     if ties:
         hm[0, 0] = 0.0          # all-equal: argmax -> first index
         hm[1, 1] = -np.abs(hm[1, 1])  # all negative max <= 0 -> masked
@@ -112,7 +115,7 @@ def _random_heatmaps(b=3, j=5, h=16, w=12, ties=True):
 
 
 def test_get_max_preds_parity():
-    hm = _random_heatmaps()
+    hm = _random_heatmaps(np.random.RandomState(14))
     ref_p, ref_v = get_max_preds(hm)
     j_p, j_v = get_max_preds_jax(jnp.asarray(np.transpose(hm, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.asarray(j_p), ref_p[:, :, :2], atol=0)
@@ -120,7 +123,7 @@ def test_get_max_preds_parity():
 
 
 def test_quarter_offset_parity():
-    hm = _random_heatmaps(ties=False)
+    hm = _random_heatmaps(np.random.RandomState(15), ties=False)
     coords, _ = get_max_preds(hm)
     ref = post_process_quarter_offset(coords, hm)
     nhwc = jnp.asarray(np.transpose(hm, (0, 2, 3, 1)))
@@ -129,9 +132,10 @@ def test_quarter_offset_parity():
 
 
 def test_full_decode_parity():
-    hm = _random_heatmaps(b=4, j=16, h=64, w=64, ties=False)
-    centers = RNG.uniform(100, 400, size=(4, 2))
-    scales = RNG.uniform(0.8, 2.0, size=(4, 2))
+    rng = np.random.RandomState(16)
+    hm = _random_heatmaps(rng, b=4, j=16, h=64, w=64, ties=False)
+    centers = rng.uniform(100, 400, size=(4, 2))
+    scales = rng.uniform(0.8, 2.0, size=(4, 2))
     ref_preds, ref_vals = get_final_preds(hm, centers, scales, post_process=True)
 
     inv = make_inverse_transforms(centers, scales, (64, 64))
@@ -143,12 +147,13 @@ def test_full_decode_parity():
 
 
 def test_accuracy_parity():
-    out = _random_heatmaps(b=6, j=16, h=64, w=64, ties=False)
+    rng = np.random.RandomState(17)
+    out = _random_heatmaps(rng, b=6, j=16, h=64, w=64, ties=False)
     # make gt a gaussian-ish field with known peaks incl. edge cases
     gt = np.zeros_like(out)
     for n in range(6):
         for c in range(16):
-            y, x = RNG.randint(0, 64), RNG.randint(0, 64)
+            y, x = rng.randint(0, 64), rng.randint(0, 64)
             gt[n, c, y, x] = 1.0
     gt[0, 0] = 0  # invalid joint (decodes to (0,0) -> ignored)
     acc, avg, cnt, _ = accuracy_np(out, gt)

@@ -101,13 +101,17 @@ def test_normalize_images():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
-def test_flip_augmentation_statistics(synth):
-    """Train-time flip should fire for some samples (p=0.5)."""
+def test_flip_and_rotation_augmentation_fire(synth):
+    """Train-time flip (p=0.5) and rotation (p=0.6) must both actually
+    fire across samples — and both sometimes not fire."""
     cfg = _cfg()
     meta = dataset_meta("mpii")
     src = PoseDataSource(cfg, synth, is_train=True,
                          flip_pairs=meta["flip_pairs"],
                          upper_body_ids=meta["upper_body_ids"], seed=7)
-    rotations = [float(src.get_sample(i % 10)["rotation"]) for i in range(20)]
-    assert any(r != 0 for r in rotations)      # rotation fires (p=0.6)
-    assert any(r == 0 for r in rotations)      # and sometimes not
+    samples = [src.get_sample(i % 10) for i in range(20)]
+    rotations = [float(s["rotation"]) for s in samples]
+    flips = [bool(s["flipped"]) for s in samples]
+    assert any(r != 0 for r in rotations)
+    assert any(r == 0 for r in rotations)
+    assert any(flips) and not all(flips)

@@ -60,19 +60,24 @@ def test_device_warp_matches_host_warp(tmp_path):
 
 
 def test_device_warp_flip_folds_into_matrix(tmp_path):
-    """Run many samples; flipped ones (p=0.5) must still match the host
-    path, proving the mirror composition is correct."""
+    """Flipped samples (p=0.5) must still match the host path, proving the
+    mirror composition is correct; the test requires that flips actually
+    occurred (sample['flipped'] + negative determinant of the matrix)."""
     dev, host = _sources(tmp_path, seed=9)
-    rotations = []
+    flipped_count = 0
     for i in range(6):
         s_dev = dev.get_sample(i)
         s_host = host.get_sample(i)
+        assert s_dev["flipped"] == s_host["flipped"]  # same RNG stream
+        if s_dev["flipped"]:
+            flipped_count += 1
+            # mirror composition flips orientation: det of linear part < 0
+            assert np.linalg.det(s_dev["warp_inv"][:, :2]) < 0
         warped = np.asarray(warp_affine_jax(
             jnp.asarray(s_dev["canvas"][None]),
             jnp.asarray(s_dev["warp_inv"][None]), (128, 128)))[0]
         assert np.abs(warped - s_host["image"].astype(np.float32)).mean() < 6.0
-        rotations.append(float(s_dev["rotation"]))
-    assert any(r != 0 for r in rotations)
+    assert flipped_count > 0, "seed produced no flips; test exercised nothing"
 
 
 def test_eval_ignores_device_warp(tmp_path):

@@ -13,33 +13,10 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-sys.path.insert(0, "/root/reference/lib")
 
-# The reference dataset package imports json_tricks and pycocotools at
-# module scope; neither is needed for the JointsDataset base class under
-# test.  Stub them so the oracle imports in this environment.
-import json as _json
-import types as _types
+import reference_oracle
 
-sys.modules.setdefault("json_tricks", _json)
-_pct = _types.ModuleType("pycocotools")
-_pct_coco = _types.ModuleType("pycocotools.coco")
-_pct_coco.COCO = object
-_pct_eval = _types.ModuleType("pycocotools.cocoeval")
-_pct_eval.COCOeval = object
-_pct.coco = _pct_coco
-_pct.cocoeval = _pct_eval
-sys.modules.setdefault("pycocotools", _pct)
-sys.modules.setdefault("pycocotools.coco", _pct_coco)
-sys.modules.setdefault("pycocotools.cocoeval", _pct_eval)
-# the reference nms package imports its compiled Cython extensions at module
-# scope (nms.py:13-14); stub them (the oracle path never calls them)
-_cy = _types.ModuleType("nms.cpu_nms")
-_cy.cpu_nms = lambda *a, **k: []
-_gy = _types.ModuleType("nms.gpu_nms")
-_gy.gpu_nms = lambda *a, **k: []
-sys.modules.setdefault("nms.cpu_nms", _cy)
-sys.modules.setdefault("nms.gpu_nms", _gy)
+reference_oracle.install()
 
 from fhpe_tpu.config import get_default_config
 from fhpe_tpu.data import PoseDataSource, dataset_meta, make_synthetic_db

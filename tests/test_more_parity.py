@@ -27,20 +27,8 @@ def test_half_body_matches_reference():
     reference half_body_transform (global np.random) and ours (RandomState)
     can be compared draw-for-draw."""
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, "/root/reference/lib")
-    import json as _json
-    import types as _types
-    sys.modules.setdefault("json_tricks", _json)
-    for name, attr in [("nms.cpu_nms", "cpu_nms"), ("nms.gpu_nms", "gpu_nms")]:
-        m = _types.ModuleType(name)
-        setattr(m, attr, lambda *a: [])
-        sys.modules.setdefault(name, m)
-    _pct = _types.ModuleType("pycocotools")
-    _pc = _types.ModuleType("pycocotools.coco"); _pc.COCO = object
-    _pe = _types.ModuleType("pycocotools.cocoeval"); _pe.COCOeval = object
-    sys.modules.setdefault("pycocotools", _pct)
-    sys.modules.setdefault("pycocotools.coco", _pc)
-    sys.modules.setdefault("pycocotools.cocoeval", _pe)
+    import reference_oracle
+    reference_oracle.install()
     from dataset.JointsDataset import JointsDataset
 
     meta = dataset_meta("mpii")
@@ -57,8 +45,8 @@ def test_half_body_matches_reference():
         vis = np.zeros((16, 3))
         vis[:, 0] = (rng_master.rand(16) > 0.3)
 
-        np.random.seed(100 + trial)
-        c_ref, s_ref = ref.half_body_transform(joints, vis)
+        with reference_oracle.seeded_global_rng(100 + trial):
+            c_ref, s_ref = ref.half_body_transform(joints, vis)
 
         ours_rng = np.random.RandomState(100 + trial)
         c_our, s_our = half_body_transform(

@@ -8,7 +8,6 @@ therefore makes the *augmented* outputs bit-comparable: same half-body
 decision, scale jitter, rotation, flip, warp, and targets.
 """
 
-import random as pyrandom
 import sys
 from types import SimpleNamespace
 
@@ -16,22 +15,10 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-sys.path.insert(0, "/root/reference/lib")
 
-import json as _json
-import types as _types
+import reference_oracle
 
-sys.modules.setdefault("json_tricks", _json)
-for _name, _attr in [("nms.cpu_nms", "cpu_nms"), ("nms.gpu_nms", "gpu_nms")]:
-    _m = _types.ModuleType(_name)
-    setattr(_m, _attr, lambda *a: [])
-    sys.modules.setdefault(_name, _m)
-_pct = _types.ModuleType("pycocotools")
-_pc = _types.ModuleType("pycocotools.coco"); _pc.COCO = object
-_pe = _types.ModuleType("pycocotools.cocoeval"); _pe.COCOeval = object
-sys.modules.setdefault("pycocotools", _pct)
-sys.modules.setdefault("pycocotools.coco", _pc)
-sys.modules.setdefault("pycocotools.cocoeval", _pe)
+reference_oracle.install()
 
 from fhpe_tpu.config import get_default_config
 from fhpe_tpu.data import PoseDataSource, dataset_meta, make_synthetic_db
@@ -81,9 +68,8 @@ def test_train_getitem_parity(tmp_path, prob_half_body):
 
     for i in range(len(db)):
         seed = 1000 + i
-        np.random.seed(seed)
-        pyrandom.seed(seed)
-        r_input, r_target, r_tw, r_meta = ref[i]
+        with reference_oracle.seeded_global_rng(seed):
+            r_input, r_target, r_tw, r_meta = ref[i]
 
         ours = PoseDataSource(_our_cfg(prob_half_body), db, is_train=True,
                               flip_pairs=meta["flip_pairs"],

@@ -86,7 +86,7 @@ def test_train_step_metrics_shapes(mesh, setup):
     batch = shard_batch(mesh, _batch(np.random.RandomState(1)))
     _, metrics = step(state, batch)
     assert metrics["per_joint_acc"].shape == (J,)
-    assert float(metrics["acc"]) >= -1
+    assert 0.0 <= float(metrics["acc"]) <= 1.0
 
 
 def test_lr_schedule():
@@ -134,12 +134,16 @@ def test_fpd_step(mesh):
     step = make_fpd_train_step(model, teacher, cfg, mesh,
                                multi_output=True, teacher_multi_output=True)
     batch = shard_batch(mesh, _batch(np.random.RandomState(2)))
+    tvars_before = jax.tree_util.tree_map(np.asarray, tvars)
     state, metrics = step(state, tvars, batch)
     total = float(metrics["loss"])
     pose, kd = float(metrics["pose_loss"]), float(metrics["kd_loss"])
     assert total == pytest.approx(0.5 * pose + 0.5 * kd, rel=1e-5)
-    # teacher must be untouched by the step (frozen)
     assert int(state.step) == 1
+    # teacher variables must be untouched by the step (frozen, not donated)
+    for before, after in zip(jax.tree_util.tree_leaves(tvars_before),
+                             jax.tree_util.tree_leaves(tvars)):
+        np.testing.assert_array_equal(before, np.asarray(after))
 
 
 def test_eval_step_matches_numpy_decode(mesh, setup):
