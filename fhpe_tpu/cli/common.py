@@ -142,10 +142,13 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
                                flip_perm=perm, prepare=prepare)
 
     num_samples = len(val_loader.source)
-    all_preds = np.zeros((num_samples, meta["num_joints"], 3), np.float32)
+    num_joints = meta["num_joints"]
+    all_preds = np.zeros((num_samples, num_joints, 3), np.float32)
     all_boxes = np.zeros((num_samples, 6))
     img_paths = []
     losses, accs = AverageMeter(), AverageMeter()
+    hits_total = np.zeros(num_joints)
+    valids_total = np.zeros(num_joints)
     idx = 0
     t0 = time.time()
     from ..parallel.mesh import prefetch_to_device
@@ -168,17 +171,27 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
 
         losses.update(float(out["loss"]), n)
         hits, valids = np.asarray(out["hits"]), np.asarray(out["valids"])
-        avg = (hits.sum() / max(valids.sum(), 1)) if valids.sum() else 0.0
-        accs.update(avg, n)
+        hits_total += hits
+        valids_total += valids
+        # macro PCK per batch (reference accuracy(): mean of per-joint
+        # accuracies over joints with valid samples, evaluate.py:62-68),
+        # meter weighted by the counted-joint number (function.py:253)
+        has = valids > 0
+        batch_acc = float((hits[has] / valids[has]).mean()) if has.any() else 0.0
+        accs.update(batch_acc, max(int(has.sum()), 1))
         idx += n
 
+    has = valids_total > 0
+    overall_acc = (float((hits_total[has] / valids_total[has]).mean())
+                   if has.any() else 0.0)
     if logger:
         logger.info(
             f"Test: loss {losses.avg:.4f}  acc {accs.avg:.3f}  "
-            f"({num_samples / max(time.time() - t0, 1e-9):.1f} samples/s)")
+            f"(overall PCK {overall_acc:.3f}, "
+            f"{num_samples / max(time.time() - t0, 1e-9):.1f} samples/s)")
 
     if evaluate_fn is None:
-        return accs.avg, {}, all_preds, all_boxes, img_paths
+        return overall_acc, {}, all_preds, all_boxes, img_paths
 
     name_values, perf = evaluate_fn(cfg, all_preds, output_dir, all_boxes,
                                     img_paths)

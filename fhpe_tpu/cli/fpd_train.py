@@ -50,7 +50,7 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
             losses.update(float(metrics["loss"]), n)
             pose_losses.update(float(metrics["pose_loss"]), n)
             kd_losses.update(float(metrics["kd_loss"]), n)
-            accs.update(float(metrics["acc"]), n)
+            accs.update(float(metrics["acc"]), max(int(metrics["acc_cnt"]), 1))
             speed = n / max(batch_time.val, 1e-9)
             logger.info(
                 f"Epoch: [{epoch}][{i}/{len(loader)}]  "
@@ -147,7 +147,7 @@ def main():
     step_fn = make_fpd_train_step(
         student, teacher, cfg, mesh, is_multi_output(student),
         is_multi_output(teacher), prepare=prepare,
-        debug_outputs=cfg.DEBUG.DEBUG)
+        debug_outputs=cfg.DEBUG.DEBUG, teacher_cfg=tcfg)
     evaluate_fn = make_evaluate_fn(cfg)
 
     writer = None

@@ -60,7 +60,7 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
             n = batch["joints"].shape[0]
             batch_time.update(time.time() - end)
             losses.update(loss, n)
-            accs.update(acc, n)
+            accs.update(acc, max(int(metrics["acc_cnt"]), 1))
             speed = n / max(batch_time.val, 1e-9)
             logger.info(
                 f"Epoch: [{epoch}][{i}/{len(loader)}]  "

@@ -64,7 +64,8 @@ def stacked_ohkm_loss(outputs, target, target_weight=None, topk: int = 8):
 
 
 def fpd_loss(student_out, teacher_final, target, target_weight=None,
-             alpha: float = 0.5, use_target_weight_kd: bool = True):
+             alpha: float = 0.5, use_target_weight_pose: bool = True,
+             use_target_weight_kd: bool = True):
     """FPD objective: (1-alpha)*MSE(student, gt) + alpha*MSE(student, teacher).
 
     ``teacher_final`` is the teacher's LAST heatmap (function.py:121-122),
@@ -73,10 +74,15 @@ def fpd_loss(student_out, teacher_final, target, target_weight=None,
     function.py:120; SURVEY.md section 3.2).  For stacked students both terms
     are summed per stack against the same targets (function.py:127-133).
 
+    The pose and KD terms gate the target weight independently: the
+    reference builds the pose criterion from the student config and the KD
+    criterion from the TEACHER config (fpd_train.py:145-147,177-179).
+
     Returns (total, pose_loss, kd_loss).
     """
-    pose = stacked_mse_loss(student_out, target, target_weight)
+    pose_w = target_weight if use_target_weight_pose else None
     kd_w = target_weight if use_target_weight_kd else None
+    pose = stacked_mse_loss(student_out, target, pose_w)
     kd = stacked_mse_loss(student_out, teacher_final, kd_w)
     total = (1.0 - alpha) * pose + alpha * kd
     return total, pose, kd

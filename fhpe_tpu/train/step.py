@@ -134,13 +134,15 @@ def _per_sample_loss(output, target, target_weight, use_ohkm, topk):
 
 
 def _finalize_pck(hits, valids):
+    """Macro PCK (reference accuracy(): per-joint acc averaged over joints
+    with valid samples; cnt = number of counted joints, evaluate.py:62-68)."""
     per_joint = jnp.where(valids > 0, hits / jnp.maximum(valids, 1), -1.0)
     has = per_joint >= 0
     cnt = jnp.sum(has)
     avg = jnp.where(cnt > 0,
                     jnp.sum(jnp.where(has, per_joint, 0.0)) / jnp.maximum(cnt, 1),
                     0.0)
-    return per_joint, avg
+    return per_joint, avg, cnt
 
 
 def _last_output(outputs, multi_output: bool):
@@ -208,14 +210,16 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
         hits, valids = _pck_counts(final, batch["target"])
         hits = jax.lax.psum(hits, DATA_AXIS)
         valids = jax.lax.psum(valids, DATA_AXIS)
-        per_joint, avg = _finalize_pck(hits, valids)
-        metrics = {"loss": loss, "acc": avg, "per_joint_acc": per_joint}
+        per_joint, avg, cnt = _finalize_pck(hits, valids)
+        metrics = {"loss": loss, "acc": avg, "acc_cnt": cnt,
+                   "per_joint_acc": per_joint}
         if debug_outputs:
             metrics["output"] = final
             metrics["target"] = batch["target"]
         return state, metrics
 
-    metric_specs = {"loss": P(), "acc": P(), "per_joint_acc": P()}
+    metric_specs = {"loss": P(), "acc": P(), "acc_cnt": P(),
+                    "per_joint_acc": P()}
     if debug_outputs:
         metric_specs["output"] = P(DATA_AXIS)
         metric_specs["target"] = P(DATA_AXIS)
@@ -231,12 +235,17 @@ def make_train_step(model, cfg, mesh, multi_output: bool,
 def make_fpd_train_step(model, teacher_model, cfg, mesh,
                         multi_output: bool, teacher_multi_output: bool,
                         bn_stats: str | None = None, prepare=None,
-                        debug_outputs: bool = False) -> Callable:
+                        debug_outputs: bool = False,
+                        teacher_cfg=None) -> Callable:
     """FPD distillation step: ``(state, teacher_vars, batch) -> (state, metrics)``.
 
     ``teacher_vars`` = {"params", "batch_stats"} (frozen; eval-mode forward).
+    The KD term's target-weight flag comes from the TEACHER config (the
+    reference builds kd_pose_criterion from tcfg, fpd_train.py:145-147);
+    pass ``teacher_cfg`` for that fidelity — defaults to the student's.
     """
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    use_tw_kd = bool((teacher_cfg or cfg).LOSS.USE_TARGET_WEIGHT)
     alpha = float(cfg.KD.ALPHA)
     prepare = prepare or _identity_prepare
     bn_stats = _resolve_bn_stats(cfg, bn_stats)
@@ -245,9 +254,10 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, mutable=["batch_stats"])
-        tw = batch["target_weight"] if use_tw else None
-        total, pose, kd = fpd_loss(outputs, teacher_final, batch["target"],
-                                   tw, alpha)
+        total, pose, kd = fpd_loss(
+            outputs, teacher_final, batch["target"], batch["target_weight"],
+            alpha, use_target_weight_pose=use_tw,
+            use_target_weight_kd=use_tw_kd)
         return total, (pose, kd, mutated["batch_stats"],
                        _last_output(outputs, multi_output))
 
@@ -273,16 +283,16 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
         hits, valids = _pck_counts(final, batch["target"])
         hits = jax.lax.psum(hits, DATA_AXIS)
         valids = jax.lax.psum(valids, DATA_AXIS)
-        per_joint, avg = _finalize_pck(hits, valids)
+        per_joint, avg, cnt = _finalize_pck(hits, valids)
         metrics = {"loss": loss, "pose_loss": pose, "kd_loss": kd,
-                   "acc": avg, "per_joint_acc": per_joint}
+                   "acc": avg, "acc_cnt": cnt, "per_joint_acc": per_joint}
         if debug_outputs:
             metrics["output"] = final
             metrics["target"] = batch["target"]
         return state, metrics
 
     metric_specs = {"loss": P(), "pose_loss": P(), "kd_loss": P(),
-                    "acc": P(), "per_joint_acc": P()}
+                    "acc": P(), "acc_cnt": P(), "per_joint_acc": P()}
     if debug_outputs:
         metric_specs["output"] = P(DATA_AXIS)
         metric_specs["target"] = P(DATA_AXIS)

@@ -120,3 +120,51 @@ def test_ohkm_train_step_runs():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_fpd_kd_weight_from_teacher_cfg():
+    """KD term gates target_weight by the TEACHER config's flag
+    (reference fpd_train.py:145-147)."""
+    import jax.numpy as jnp
+    from fhpe_tpu.train.loss import fpd_loss
+
+    rng = np.random.RandomState(21)
+    s_out = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    teacher = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray((rng.rand(2, 4) > 0.5).astype(np.float32))
+
+    _, pose_a, kd_unweighted = fpd_loss(
+        s_out, teacher, tgt, w, 0.5,
+        use_target_weight_pose=True, use_target_weight_kd=False)
+    _, pose_b, kd_weighted = fpd_loss(
+        s_out, teacher, tgt, w, 0.5,
+        use_target_weight_pose=True, use_target_weight_kd=True)
+    assert float(pose_a) == float(pose_b)       # pose unaffected
+    assert float(kd_unweighted) != float(kd_weighted)
+
+
+def test_train_step_macro_pck():
+    """Step 'acc' is the macro (per-joint-averaged) PCK with acc_cnt =
+    number of counted joints, matching reference accuracy()."""
+    import jax.numpy as jnp
+    from fhpe_tpu.parallel.mesh import get_mesh, shard_batch
+    from fhpe_tpu.train.step import make_train_step
+
+    cfg, model, state = _tiny_setup()
+    mesh = get_mesh(8)
+    step = make_train_step(model, cfg, mesh, True)
+    # gt heatmaps: joint 0 peak at a valid location for ALL samples; other
+    # joints invalid (peak at (0,0) -> excluded by the >1 rule)
+    tgt = np.zeros((8, 16, 16, 4), np.float32)
+    tgt[:, 5, 7, 0] = 1.0
+    batch = shard_batch(mesh, {
+        "image": jnp.asarray(np.random.RandomState(3).randn(8, 64, 64, 3),
+                             jnp.float32),
+        "target": jnp.asarray(tgt),
+        "target_weight": jnp.ones((8, 4), jnp.float32)})
+    _, m = step(state, batch)
+    assert int(m["acc_cnt"]) == 1          # only joint 0 counted
+    pj = np.asarray(m["per_joint_acc"])
+    assert (pj[1:] == -1).all()            # others marked invalid
+    assert float(m["acc"]) == pytest.approx(float(pj[0]))
