@@ -97,6 +97,12 @@ def main():
     summary = get_model_summary(
         model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))
     logger.info(summary["text"])
+    if os.environ.get("FHPE_DUMP_HLO"):
+        from ..utils.summary import dump_hlo
+        hlo_path = os.path.join(output_dir, "forward.stablehlo.txt")
+        if dump_hlo(model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]),
+                    hlo_path):
+            logger.info(f"=> wrote lowered StableHLO to {hlo_path}")
 
     train_loader, val_loader, meta = build_loaders(cfg, n_dev)
 

@@ -41,3 +41,23 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
     if flops is not None:
         lines.append(f"Forward GFLOPs (batch={batch}): {flops / 1e9:.2f}")
     return {"params": n_params, "flops": flops, "text": "\n".join(lines)}
+
+
+def dump_hlo(model, input_hw, path: str, batch: int = 1,
+             train: bool = False) -> bool:
+    """Write the lowered StableHLO of the forward pass to ``path``.
+
+    The JAX analogue of the reference's TensorBoard model-graph dump
+    (tools/train.py:129-138).  Set FHPE_DUMP_HLO=1 to trigger from the
+    train CLI.  Returns True on success.
+    """
+    try:
+        x = jnp.zeros((batch, input_hw[0], input_hw[1], 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        lowered = jax.jit(
+            lambda v, i: model.apply(v, i, train=train)).lower(variables, x)
+        with open(path, "w") as f:
+            f.write(lowered.as_text())
+        return True
+    except Exception:
+        return False
