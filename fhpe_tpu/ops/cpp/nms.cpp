@@ -122,4 +122,66 @@ int64_t fhpe_oks_nms(const double* kpts, const double* scores,
     return kept;
 }
 
+// Soft OKS NMS with gaussian rescoring (semantics of ops/nms.py
+// soft_oks_nms, itself matching lib/nms/nms.py:138-177): pop the current
+// max, rescore the remainder by exp(-oks^2/thresh), re-sort, repeat up to
+// max_dets.  Returns number kept; keep_out gets original indices.
+int64_t fhpe_soft_oks_nms(const double* kpts, const double* scores_in,
+                          const double* areas, int64_t n, int64_t num_joints,
+                          const double* sigmas, double thresh,
+                          int64_t max_dets, int64_t* keep_out) {
+    if (n <= 0) return 0;
+    std::vector<double> vars(num_joints);
+    for (int64_t j = 0; j < num_joints; ++j) {
+        double s = sigmas[j] * 2.0;
+        vars[j] = s * s;
+    }
+    const double eps = 2.220446049250313e-16;  // np.spacing(1)
+
+    std::vector<int64_t> order = ScoreOrder::argsort_desc(scores_in, n);
+    std::vector<double> scores(n);
+    for (int64_t i = 0; i < n; ++i) scores[i] = scores_in[order[i]];
+
+    int64_t kept = 0;
+    while (!order.empty() && kept < max_dets) {
+        int64_t i = order[0];
+        const double* gi = kpts + i * 3 * num_joints;
+        // rescore the tail by OKS vs i
+        std::vector<double> new_scores(order.size() - 1);
+        std::vector<int64_t> tail(order.begin() + 1, order.end());
+        for (size_t t = 0; t < tail.size(); ++t) {
+            const double* gj = kpts + tail[t] * 3 * num_joints;
+            double sum = 0.0;
+            for (int64_t k = 0; k < num_joints; ++k) {
+                double dx = gj[3 * k] - gi[3 * k];
+                double dy = gj[3 * k + 1] - gi[3 * k + 1];
+                double e = (dx * dx + dy * dy) / vars[k]
+                           / ((areas[i] + areas[tail[t]]) / 2.0 + eps) / 2.0;
+                sum += std::exp(-e);
+            }
+            double oks = sum / (double)num_joints;
+            new_scores[t] = scores[t + 1] * std::exp(-(oks * oks) / thresh);
+        }
+        // stable re-sort of the tail by the rescored values, numpy tie-break
+        std::vector<size_t> perm(tail.size());
+        std::iota(perm.begin(), perm.end(), 0);
+        std::stable_sort(perm.begin(), perm.end(),
+                         [&new_scores](size_t a, size_t b) {
+                             if (new_scores[a] != new_scores[b])
+                                 return new_scores[a] > new_scores[b];
+                             return a > b;
+                         });
+        std::vector<int64_t> next_order(tail.size());
+        std::vector<double> next_scores(tail.size());
+        for (size_t t = 0; t < tail.size(); ++t) {
+            next_order[t] = tail[perm[t]];
+            next_scores[t] = new_scores[perm[t]];
+        }
+        order = std::move(next_order);
+        scores = std::move(next_scores);
+        keep_out[kept++] = i;
+    }
+    return kept;
+}
+
 }  // extern "C"

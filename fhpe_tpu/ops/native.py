@@ -50,6 +50,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.c_double,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.fhpe_soft_oks_nms.restype = ctypes.c_int64
+    lib.fhpe_soft_oks_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -76,6 +82,18 @@ def box_nms_native(dets: np.ndarray, thresh: float):
     return keep[:kept].tolist()
 
 
+def _pack_kpts_db(kpts_db, sigmas):
+    sigmas = COCO_SIGMAS if sigmas is None else np.asarray(sigmas)
+    j = len(sigmas)
+    kpts = np.ascontiguousarray(
+        [np.asarray(k["keypoints"], dtype=np.float64).flatten()[:3 * j]
+         for k in kpts_db], dtype=np.float64)
+    scores = np.ascontiguousarray([k["score"] for k in kpts_db], np.float64)
+    areas = np.ascontiguousarray([k["area"] for k in kpts_db], np.float64)
+    sig = np.ascontiguousarray(sigmas, np.float64)
+    return kpts, scores, areas, sig, j
+
+
 def oks_nms_native(kpts_db, thresh: float, sigmas=None):
     """C++ greedy OKS NMS; keep-list identical to ops.nms.oks_nms."""
     lib = get_lib()
@@ -85,14 +103,7 @@ def oks_nms_native(kpts_db, thresh: float, sigmas=None):
     n = len(kpts_db)
     if n == 0:
         return []
-    sigmas = COCO_SIGMAS if sigmas is None else np.asarray(sigmas)
-    j = len(sigmas)
-    kpts = np.ascontiguousarray(
-        [np.asarray(k["keypoints"], dtype=np.float64).flatten()[:3 * j]
-         for k in kpts_db], dtype=np.float64)
-    scores = np.ascontiguousarray([k["score"] for k in kpts_db], np.float64)
-    areas = np.ascontiguousarray([k["area"] for k in kpts_db], np.float64)
-    sig = np.ascontiguousarray(sigmas, np.float64)
+    kpts, scores, areas, sig, j = _pack_kpts_db(kpts_db, sigmas)
     keep = np.zeros(n, dtype=np.int64)
     kept = lib.fhpe_oks_nms(
         kpts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -100,5 +111,27 @@ def oks_nms_native(kpts_db, thresh: float, sigmas=None):
         areas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, j,
         sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_double(thresh),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return keep[:kept].tolist()
+
+
+def soft_oks_nms_native(kpts_db, thresh: float, sigmas=None,
+                        max_dets: int = 20):
+    """C++ soft OKS NMS; keep-list identical to ops.nms.soft_oks_nms."""
+    lib = get_lib()
+    if lib is None:
+        from .nms import soft_oks_nms
+        return soft_oks_nms(kpts_db, thresh, sigmas, max_dets=max_dets)
+    n = len(kpts_db)
+    if n == 0:
+        return []
+    kpts, scores, areas, sig, j = _pack_kpts_db(kpts_db, sigmas)
+    keep = np.zeros(max(n, max_dets), dtype=np.int64)
+    kept = lib.fhpe_soft_oks_nms(
+        kpts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        areas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, j,
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(thresh), ctypes.c_int64(max_dets),
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return keep[:kept].tolist()

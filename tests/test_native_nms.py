@@ -7,7 +7,7 @@ import pytest
 import jax.numpy as jnp
 
 from fhpe_tpu.ops import native
-from fhpe_tpu.ops.nms import nms, oks_iou, oks_nms
+from fhpe_tpu.ops.nms import nms, oks_iou, oks_nms, soft_oks_nms
 from fhpe_tpu.ops.nms_jax import (box_nms_device, oks_nms_device,
                                   pairwise_oks_jnp, pairwise_oks_pallas)
 
@@ -110,3 +110,15 @@ def test_pallas_decode_matches_jax():
     got_c, got_v = decode_pallas(hmj)
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
+@pytest.mark.skipif(not native.available(), reason="C++ lib not built")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cpp_soft_oks_nms_parity(seed):
+    rng = np.random.RandomState(seed)
+    db = _random_kpts_db(rng, n=30)
+    for thresh in (0.5, 0.9):
+        for md in (5, 20):
+            got = native.soft_oks_nms_native(db, thresh, max_dets=md)
+            ref = soft_oks_nms(db, thresh, max_dets=md)
+            assert got == ref, (thresh, md)
