@@ -119,6 +119,16 @@ def main():
     sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0], 3))
     state = create_train_state(cfg, student, rng, sample)
 
+    # student ImageNet-pretrained trunk init (reference fpd_train.py:122 ->
+    # get_pose_net(is_train=True) -> init_weights(PRETRAINED)); the teacher
+    # is built with is_train=False and loads KD.TEACHER instead
+    from ..utils.torch_import import load_pretrained
+    svars = {"params": state.params, "batch_stats": state.batch_stats}
+    svars, n_pre = load_pretrained(cfg, svars, logger)
+    if n_pre:
+        state = state.replace(params=svars["params"],
+                              batch_stats=svars["batch_stats"])
+
     tvars = load_model_weights(cfg.KD.TEACHER)
     # validate checkpoint structure against a fresh init
     t_init = teacher.init(jax.random.PRNGKey(1), sample, train=False)

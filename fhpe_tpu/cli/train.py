@@ -110,6 +110,16 @@ def main():
     sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0], 3))
     state = create_train_state(cfg, model, rng, sample)
 
+    # ImageNet-pretrained trunk init (reference get_pose_net(is_train=True)
+    # -> init_weights(cfg.MODEL.PRETRAINED), pose_resnet.py:261-268,
+    # pose_hrnet.py:495-501)
+    from ..utils.torch_import import load_pretrained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables, n_pre = load_pretrained(cfg, variables, logger)
+    if n_pre:
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     best_perf = -1.0
     if cfg.AUTO_RESUME:

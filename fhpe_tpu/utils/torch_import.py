@@ -68,17 +68,34 @@ def _deconv_w(w: np.ndarray) -> np.ndarray:
 
 
 class _Assembler:
-    def __init__(self):
+    def __init__(self, strict: bool = True):
         self.params: dict = {}
         self.stats: dict = {}
         self.unmatched: list = []
+        self.skipped: list = []
+        self.strict = strict
+
+    def _missing(self, sd, tkey) -> bool:
+        """Non-strict mode tolerates absent torch keys (trunk-only ImageNet
+        checkpoints: the reference loads them with strict=False,
+        pose_resnet.py:233-236)."""
+        if tkey + ".weight" in sd:
+            return False
+        if self.strict:
+            raise KeyError(tkey + ".weight")
+        self.skipped.append(tkey)
+        return True
 
     def conv(self, sd, tkey, path, bias=True):
+        if self._missing(sd, tkey):
+            return
         _set(self.params, path + ("Conv_0", "kernel"), _conv_w(sd[tkey + ".weight"]))
         if bias and tkey + ".bias" in sd:
             _set(self.params, path + ("Conv_0", "bias"), sd[tkey + ".bias"])
 
     def deconv(self, sd, tkey, path, bias=False):
+        if self._missing(sd, tkey):
+            return
         _set(self.params, path + ("ConvTranspose_0", "kernel"),
              _deconv_w(sd[tkey + ".weight"]))
         if bias and tkey + ".bias" in sd:
@@ -86,6 +103,8 @@ class _Assembler:
                  sd[tkey + ".bias"])
 
     def bn(self, sd, tkey, path):
+        if self._missing(sd, tkey):
+            return
         _set(self.params, path + ("BatchNorm_0", "scale"), sd[tkey + ".weight"])
         _set(self.params, path + ("BatchNorm_0", "bias"), sd[tkey + ".bias"])
         _set(self.stats, path + ("BatchNorm_0", "mean"),
@@ -162,10 +181,11 @@ def import_hourglass(sd: Dict[str, np.ndarray], num_stacks: int,
 # HRNet
 # ---------------------------------------------------------------------------
 
-def import_hrnet(sd: Dict[str, np.ndarray], stage_cfgs: dict) -> dict:
+def import_hrnet(sd: Dict[str, np.ndarray], stage_cfgs: dict,
+                 strict: bool = True) -> dict:
     """stage_cfgs: {"STAGE2": {...}, "STAGE3": {...}, "STAGE4": {...}} dicts
     with NUM_MODULES/NUM_BRANCHES/NUM_BLOCKS/NUM_CHANNELS/BLOCK."""
-    a = _Assembler()
+    a = _Assembler(strict=strict)
     a.conv(sd, "conv1", ("conv1",), bias=False)
     a.bn(sd, "bn1", ("bn1",))
     a.conv(sd, "conv2", ("conv2",), bias=False)
@@ -232,10 +252,11 @@ RESNET_LAYERS = {18: [2, 2, 2, 2], 34: [3, 4, 6, 3], 50: [3, 4, 6, 3],
 
 
 def import_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int = 50,
-                       num_deconv: int = 3, deconv_with_bias: bool = False) -> dict:
+                       num_deconv: int = 3, deconv_with_bias: bool = False,
+                       strict: bool = True) -> dict:
     kind = "BASIC" if num_layers in (18, 34) else "BOTTLENECK"
     layers = RESNET_LAYERS[num_layers]
-    a = _Assembler()
+    a = _Assembler(strict=strict)
     a.conv(sd, "conv1", ("conv1",), bias=False)
     a.bn(sd, "bn1", ("bn1",))
     for li, n in enumerate(layers):
@@ -248,6 +269,99 @@ def import_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int = 50,
         a.bn(sd, f"deconv_layers.{3 * i + 1}", (f"deconv{i}_bn",))
     a.conv(sd, "final_layer", ("final_layer",))
     return a.result()
+
+
+# ---------------------------------------------------------------------------
+# ImageNet-pretrained initialization (MODEL.PRETRAINED)
+# ---------------------------------------------------------------------------
+
+def filter_pretrained_layers(sd: Dict[str, np.ndarray], layers) -> dict:
+    """HRNet PRETRAINED_LAYERS filter: keep torch keys whose first dotted
+    component is listed, or everything if the list starts with '*'
+    (reference pose_hrnet.py:484-489)."""
+    if layers and layers[0] == "*":
+        return dict(sd)
+    keep = set(layers)
+    return {k: v for k, v in sd.items() if k.split(".")[0] in keep}
+
+
+def merge_variables(variables: dict, partial: dict):
+    """Overlay ``partial`` leaves onto ``variables`` where path+shape match.
+
+    The flax analogue of torch ``load_state_dict(..., strict=False)``
+    (reference pose_resnet.py:236, pose_hrnet.py:489): matching leaves are
+    replaced (cast to the existing leaf dtype), everything else keeps its
+    fresh initialization.  Returns (merged, loaded_paths, skipped_paths).
+    """
+    from flax import traverse_util
+    from flax.core import unfreeze
+
+    flat_v = traverse_util.flatten_dict(unfreeze(variables))
+    flat_p = traverse_util.flatten_dict(partial)
+    loaded, skipped = [], []
+    for k, v in flat_p.items():
+        cur = flat_v.get(k)
+        if cur is not None and tuple(cur.shape) == tuple(np.shape(v)):
+            flat_v[k] = np.asarray(v, dtype=cur.dtype)
+            loaded.append(k)
+        else:
+            skipped.append(k)
+    return traverse_util.unflatten_dict(flat_v), loaded, skipped
+
+
+def import_pretrained(cfg, state_dict: Dict[str, np.ndarray]) -> dict:
+    """Map an ImageNet trunk checkpoint (torchvision ResNet / HRNet
+    classification) onto this package's tree, tolerating the missing
+    pose-head keys.  HRNet applies the PRETRAINED_LAYERS filter first."""
+    name = cfg.MODEL.NAME
+    extra = cfg.MODEL.EXTRA
+    if name == "pose_hrnet":
+        sd = filter_pretrained_layers(state_dict,
+                                      list(extra.PRETRAINED_LAYERS))
+        return import_hrnet(sd, {
+            "STAGE2": dict(extra.STAGE2), "STAGE3": dict(extra.STAGE3),
+            "STAGE4": dict(extra.STAGE4)}, strict=False)
+    if name == "pose_resnet":
+        return import_pose_resnet(state_dict, extra.NUM_LAYERS,
+                                  extra.NUM_DECONV_LAYERS,
+                                  extra.DECONV_WITH_BIAS, strict=False)
+    raise KeyError(
+        f"MODEL.PRETRAINED is not supported for '{name}' (the reference's "
+        f"hourglass has no pretrained path either, hourglass.py:195)")
+
+
+def load_pretrained(cfg, variables: dict, logger=None):
+    """Reference ``init_weights(cfg.MODEL.PRETRAINED)`` semantics
+    (pose_resnet.py:209-249, pose_hrnet.py:462-492): if the checkpoint file
+    exists, load the trunk non-strictly over freshly-initialized variables.
+
+    Deviation (documented in docs/PARITY.md): a missing file logs a
+    prominent warning instead of HRNet's ValueError, so hermetic/synthetic
+    runs of reference YAMLs proceed from random init.
+    Returns (variables, n_loaded).
+    """
+    import os
+
+    path = cfg.MODEL.PRETRAINED
+    if not (cfg.MODEL.INIT_WEIGHTS and path):
+        return variables, 0
+    if cfg.MODEL.NAME == "hourglass":
+        return variables, 0  # reference hourglass has no pretrained init
+    if not os.path.isfile(path):
+        if logger:
+            logger.warning(
+                f"=> MODEL.PRETRAINED '{path}' not found — training from "
+                f"RANDOM INIT. The reference relies on ImageNet-pretrained "
+                f"trunks for its published accuracy; expect several AP/PCKh "
+                f"points lower without them (pose_hrnet.py:490-492).")
+        return variables, 0
+    sd = load_torch_state_dict(path)
+    partial = import_pretrained(cfg, sd)
+    merged, loaded, skipped = merge_variables(variables, partial)
+    if logger:
+        logger.info(f"=> loaded {len(loaded)} pretrained tensors from "
+                    f"{path} ({len(skipped)} skipped)")
+    return merged, len(loaded)
 
 
 def import_for_model(cfg, state_dict: Dict[str, np.ndarray]) -> dict:
