@@ -28,8 +28,7 @@ from ..utils.logger import create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from .common import (build_loaders, load_cfg_from_args,
                      make_evaluate_fn, parse_args, validate)
-from ..utils.logger import AverageMeter
-import time
+from ..utils.logger import WindowedMeters
 
 
 def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
@@ -37,24 +36,19 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
     from ..parallel.mesh import prefetch_to_device
     from .common import train_batch_keys
 
-    batch_time = AverageMeter()
-    losses, pose_losses, kd_losses, accs = (AverageMeter(), AverageMeter(),
-                                            AverageMeter(), AverageMeter())
-    end = time.time()
+    meters = WindowedMeters(value_keys=("loss", "pose_loss", "kd_loss"))
     stream = prefetch_to_device(iter(loader), mesh, keys=train_batch_keys(cfg))
     for i, (dev, batch) in enumerate(stream):
         state, metrics = step_fn(state, tvars, dev)
+        meters.push(metrics, batch["joints"].shape[0])
         if i % cfg.PRINT_FREQ == 0:
-            n = batch["joints"].shape[0]
-            batch_time.update(time.time() - end)
-            losses.update(float(metrics["loss"]), n)
-            pose_losses.update(float(metrics["pose_loss"]), n)
-            kd_losses.update(float(metrics["kd_loss"]), n)
-            accs.update(float(metrics["acc"]), max(int(metrics["acc_cnt"]), 1))
-            speed = n / max(batch_time.val, 1e-9)
+            meters.drain()
+            losses, accs = meters["loss"], meters["acc"]
+            pose_losses, kd_losses = meters["pose_loss"], meters["kd_loss"]
             logger.info(
                 f"Epoch: [{epoch}][{i}/{len(loader)}]  "
-                f"Time {batch_time.val:.3f}s  Speed {speed:.1f} samples/s  "
+                f"Time {meters.batch_time.val:.3f}s  "
+                f"Speed {meters.speed:.1f} samples/s  "
                 f"Loss {losses.val:.5f} ({losses.avg:.5f})  "
                 f"PoseLoss {pose_losses.val:.5f}  KDLoss {kd_losses.val:.5f}  "
                 f"Accuracy {accs.val:.3f} ({accs.avg:.3f})")
@@ -73,7 +67,6 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
                                   batch["joints_vis"][..., None],
                                   np.asarray(metrics["target"]),
                                   np.asarray(metrics["output"]), prefix)
-        end = time.time()
         global_step += 1
     return state, global_step
 

@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
 
@@ -27,7 +26,7 @@ from ..train.state import create_train_state, lr_for_epoch, set_lr
 from ..train.step import make_batch_preprocessor, make_train_step
 from ..utils.checkpoint import (auto_resume, save_checkpoint,
                                 save_final_state)
-from ..utils.logger import AverageMeter, create_logger, save_config_yaml
+from ..utils.logger import WindowedMeters, create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from ..utils.vis import save_debug_images
 from .common import (build_loaders, load_cfg_from_args,
@@ -43,8 +42,7 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
     from .common import train_batch_keys
 
     profile_dir = os.environ.get("FHPE_PROFILE_DIR")
-    batch_time, losses, accs = AverageMeter(), AverageMeter(), AverageMeter()
-    end = time.time()
+    meters = WindowedMeters(value_keys=("loss",))
     stream = prefetch_to_device(iter(loader), mesh, keys=train_batch_keys(cfg))
     for i, (dev, batch) in enumerate(stream):
         if profile_dir and epoch == 0 and i == 2:
@@ -54,29 +52,26 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
             logger.info(f"=> wrote profiler trace to {profile_dir}")
+        n = batch["joints"].shape[0]
+        meters.push(metrics, n)
         if i % cfg.PRINT_FREQ == 0:
-            loss = float(metrics["loss"])
-            acc = float(metrics["acc"])
-            n = batch["joints"].shape[0]
-            batch_time.update(time.time() - end)
-            losses.update(loss, n)
-            accs.update(acc, max(int(metrics["acc_cnt"]), 1))
-            speed = n / max(batch_time.val, 1e-9)
+            meters.drain()
+            losses, accs = meters["loss"], meters["acc"]
             logger.info(
                 f"Epoch: [{epoch}][{i}/{len(loader)}]  "
-                f"Time {batch_time.val:.3f}s  Speed {speed:.1f} samples/s  "
+                f"Time {meters.batch_time.val:.3f}s  "
+                f"Speed {meters.speed:.1f} samples/s  "
                 f"Loss {losses.val:.5f} ({losses.avg:.5f})  "
                 f"Accuracy {accs.val:.3f} ({accs.avg:.3f})")
             if writer is not None:
-                writer.add_scalar("train_loss", loss, global_step)
-                writer.add_scalar("train_acc", acc, global_step)
+                writer.add_scalar("train_loss", losses.val, global_step)
+                writer.add_scalar("train_acc", accs.val, global_step)
             if cfg.DEBUG.DEBUG and "output" in metrics and "image" in batch:
                 prefix = os.path.join(output_dir, f"train_{epoch}_{i}")
                 save_debug_images(cfg, batch["image"], batch["joints"],
                                   batch["joints_vis"][..., None],
                                   np.asarray(metrics["target"]),
                                   np.asarray(metrics["output"]), prefix)
-        end = time.time()
         global_step += 1
     return state, global_step
 

@@ -116,42 +116,64 @@ class PoseDataSource:
     def __len__(self):
         return len(self.db)
 
-    def get_sample(self, idx: int, host_targets: bool = False) -> Dict:
+    def draw_augment_params(self, idx: int) -> Dict:
+        """Consume the augmentation RNG streams for sample ``idx`` and return
+        the resolved parameters (center/scale after half-body + scale jitter,
+        rotation, flip decision).
+
+        All draws depend only on the db record (never on pixels), so they can
+        be made on the submitting thread in deterministic order and shipped to
+        pool workers — training augmentations are then reproducible for a
+        fixed seed regardless of thread scheduling (the shared RandomState is
+        never touched concurrently).  Draw order/conditions are exactly the
+        reference's ``__getitem__`` sequence (JointsDataset.py:145-165).
+        """
+        rec = self.db[idx]
+        joints = np.array(rec["joints_3d"], copy=True)
+        joints_vis = np.array(rec["joints_3d_vis"], copy=True)
+        c = np.array(rec["center"], copy=True, dtype=np.float64)
+        s = np.array(rec["scale"], copy=True, dtype=np.float64)
+
+        if (np.sum(joints_vis[:, 0]) > self.num_joints_half_body
+                and self.rng.rand() < self.prob_half_body):
+            c_hb, s_hb = half_body_transform(
+                joints, joints_vis, self.num_joints, self.upper_body_ids,
+                self.aspect_ratio, self.rng)
+            if c_hb is not None and s_hb is not None:
+                c, s = c_hb, s_hb
+
+        sf, rf = self.scale_factor, self.rotation_factor
+        s = s * np.clip(self.rng.randn() * sf + 1, 1 - sf, 1 + sf)
+        r = (np.clip(self.rng.randn() * rf, -rf * 2, rf * 2)
+             if self.pyrng.random() <= 0.6 else 0)
+        flipped = bool(self.flip and self.pyrng.random() <= 0.5)
+        return {"c": c, "s": s, "r": r, "flipped": flipped}
+
+    def get_sample(self, idx: int, host_targets: bool = False,
+                   params: Optional[Dict] = None) -> Dict:
         import cv2
 
         rec = self.db[idx]
         img = _read_image(rec["image"], self.color_rgb)
         joints = np.array(rec["joints_3d"], copy=True)
         joints_vis = np.array(rec["joints_3d_vis"], copy=True)
-        c = np.array(rec["center"], copy=True, dtype=np.float64)
-        s = np.array(rec["scale"], copy=True, dtype=np.float64)
         score = rec.get("score", 1)
-        r = 0
 
         if self.is_train:
-            if (np.sum(joints_vis[:, 0]) > self.num_joints_half_body
-                    and self.rng.rand() < self.prob_half_body):
-                c_hb, s_hb = half_body_transform(
-                    joints, joints_vis, self.num_joints, self.upper_body_ids,
-                    self.aspect_ratio, self.rng)
-                if c_hb is not None and s_hb is not None:
-                    c, s = c_hb, s_hb
-
-            sf, rf = self.scale_factor, self.rotation_factor
-            s = s * np.clip(self.rng.randn() * sf + 1, 1 - sf, 1 + sf)
-            r = (np.clip(self.rng.randn() * rf, -rf * 2, rf * 2)
-                 if self.pyrng.random() <= 0.6 else 0)
-
-            if self.flip and self.pyrng.random() <= 0.5:
-                flipped = True
+            if params is None:
+                params = self.draw_augment_params(idx)
+            c, s, r = params["c"].copy(), params["s"].copy(), params["r"]
+            flipped = params["flipped"]
+            if flipped:
                 if not self.device_warp:
                     img = img[:, ::-1, :]
                 joints, joints_vis = fliplr_joints(
                     joints, joints_vis, img.shape[1], self.flip_pairs)
                 c[0] = img.shape[1] - c[0] - 1
-            else:
-                flipped = False
         else:
+            c = np.array(rec["center"], copy=True, dtype=np.float64)
+            s = np.array(rec["scale"], copy=True, dtype=np.float64)
+            r = 0
             flipped = False
 
         trans = get_affine_transform(c, s, r, self.image_size)
@@ -173,8 +195,15 @@ class PoseDataSource:
             inv = get_affine_transform(c, s, r, self.image_size, inv=True)
             if flipped:
                 inv = compose_mirror(inv, w_img)
-            # source -> canvas coords: multiply by the per-axis fit scale
-            warp_inv = inv * np.array([[rw / w_img], [rh / h_img]])
+            # source -> canvas coords with cv2.resize's pixel-center
+            # convention: canvas_x = (src_x + 0.5) * fit_x - 0.5, i.e. scale
+            # each row by the per-axis fit AND shift the translation column
+            # by 0.5*fit - 0.5 (a pure row scale would bias every crop
+            # ~0.5*(1-fit) px toward the top-left).
+            fx, fy = rw / w_img, rh / h_img
+            warp_inv = inv * np.array([[fx], [fy]])
+            warp_inv[0, 2] += 0.5 * fx - 0.5
+            warp_inv[1, 2] += 0.5 * fy - 0.5
             image_field = {"canvas": canvas,
                            "warp_inv": warp_inv.astype(np.float32)}
         else:
@@ -253,10 +282,22 @@ class BatchLoader:
         n = len(self.source)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _load_batch(self, idxs):
+    def _load_batch(self, idxs, params):
         samples = list(self.pool.map(
-            lambda i: self.source.get_sample(i, self.host_targets), idxs))
+            lambda ip: self.source.get_sample(ip[0], self.host_targets,
+                                              params=ip[1]),
+            zip(idxs, params)))
         return collate(samples, pad_to=self.batch_size)
+
+    def _submit(self, idxs):
+        # Augmentation draws happen HERE, on the iterating thread, in batch
+        # order — never in pool workers — so training augmentations are
+        # reproducible for a fixed seed regardless of thread scheduling.
+        if self.source.is_train:
+            params = [self.source.draw_augment_params(i) for i in idxs]
+        else:
+            params = [None] * len(idxs)
+        return self.batch_pool.submit(self._load_batch, idxs, params)
 
     def __iter__(self):
         n = len(self.source)
@@ -273,10 +314,10 @@ class BatchLoader:
         for _ in range(self.prefetch):
             idxs = next(it, None)
             if idxs is not None:
-                futures.append(self.batch_pool.submit(self._load_batch, idxs))
+                futures.append(self._submit(idxs))
         while futures:
             batch = futures.pop(0).result()
             idxs = next(it, None)
             if idxs is not None:
-                futures.append(self.batch_pool.submit(self._load_batch, idxs))
+                futures.append(self._submit(idxs))
             yield batch

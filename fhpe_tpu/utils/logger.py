@@ -63,6 +63,62 @@ class AverageMeter:
         self.avg = self.sum / self.count if self.count != 0 else 0.0
 
 
+class WindowedMeters:
+    """Async-dispatch-friendly train-loop meters.
+
+    The jitted step dispatches asynchronously; forcing a host sync every
+    iteration (as the reference's per-step meter updates do,
+    function.py:68-86) would serialize the TPU pipeline.  Instead, per-step
+    metric arrays are queued without blocking, and at each PRINT_FREQ
+    boundary the queue is drained: by then every queued step but the newest
+    has already completed on device, so the scalar fetches are cheap.  The
+    result: ``loss``/``acc`` meters average EVERY step (reference-comparable
+    "(avg)" values), and ``Speed`` is the true differenced window rate
+    (window batches / window wall-clock), not a sync-inflated single sample.
+
+    ``value_keys`` meters are counted by batch size; ``acc`` (if present in
+    the step metrics) is counted by the step's ``acc_cnt`` visible-joint
+    count, matching the reference's accuracy meter.
+    """
+
+    def __init__(self, value_keys=("loss",)):
+        self.value_keys = tuple(value_keys)
+        self.meters = {k: AverageMeter() for k in self.value_keys}
+        self.meters["acc"] = AverageMeter()
+        self.batch_time = AverageMeter()
+        self._pending = []
+        self._t0 = time.time()
+        self._steps = 0
+        self.speed = 0.0
+
+    def push(self, metrics, batch_size: int):
+        """Queue one dispatched step's metrics (no sync)."""
+        self._pending.append((metrics, batch_size))
+        self._steps += 1
+
+    def drain(self):
+        """Block on the newest queued step, fold all queued steps into the
+        meters, and compute the window's differenced step time / speed."""
+        n_images = 0
+        for m, n in self._pending:
+            for k in self.value_keys:
+                self.meters[k].update(float(m[k]), n)
+            if "acc" in m:
+                self.meters["acc"].update(
+                    float(m["acc"]), max(int(m.get("acc_cnt", 1)), 1))
+            n_images += n
+        self._pending.clear()
+        elapsed = time.time() - self._t0
+        steps = max(self._steps, 1)
+        self.batch_time.update(elapsed / steps, steps)
+        self.speed = n_images / max(elapsed, 1e-9)
+        self._t0 = time.time()
+        self._steps = 0
+
+    def __getitem__(self, key):
+        return self.meters[key]
+
+
 def print_name_value(logger, name_value, full_arch_name: str):
     """Markdown results table (reference function.py:336-353)."""
     names = list(name_value.keys())

@@ -14,14 +14,31 @@ import jax.numpy as jnp
 from ..models.common import param_count
 
 
+def module_param_table(params) -> list:
+    """Per-top-level-module parameter breakdown from the params pytree.
+
+    The analogue of the reference's per-module summary rows
+    (``lib/utils/utils.py:86-202`` prints name/params/FLOPs per module via
+    forward hooks); here modules are the top-level flax submodules and the
+    counts come straight from the pytree — no hooks, no forward pass.
+    Returns ``[(name, n_params), ...]`` in sorted-by-name order.
+    """
+    rows = []
+    for name in sorted(params.keys()):
+        rows.append((name, param_count(params[name])))
+    return rows
+
+
 def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
-    """dict with params, flops (fwd, per batch), and a printable text."""
+    """dict with params, flops (fwd, per batch), per-module rows, and a
+    printable text table (reference get_model_summary,
+    lib/utils/utils.py:86-202)."""
     x = jnp.zeros((batch, input_hw[0], input_hw[1], 3))
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), x, train=False))
     n_params = param_count(shapes["params"])
+    rows = module_param_table(shapes["params"])
 
-    variables = None
     flops = None
     try:
         variables = model.init(jax.random.PRNGKey(0), x, train=False)
@@ -34,13 +51,22 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
     except Exception:  # cost analysis is best-effort (backend-dependent)
         pass
 
+    name_w = max([len(r[0]) for r in rows] + [len("Module")])
     lines = [
         f"Model: {type(model).__name__}",
-        f"Total Parameters: {n_params:,}",
+        f"{'Module':<{name_w}}  {'Params':>12}  {'Share':>6}",
+        "-" * (name_w + 22),
     ]
+    for name, n in rows:
+        share = 100.0 * n / max(n_params, 1)
+        lines.append(f"{name:<{name_w}}  {n:>12,}  {share:>5.1f}%")
+    lines.append("-" * (name_w + 22))
+    lines.append(f"Total Parameters: {n_params:,}")
     if flops is not None:
-        lines.append(f"Forward GFLOPs (batch={batch}): {flops / 1e9:.2f}")
-    return {"params": n_params, "flops": flops, "text": "\n".join(lines)}
+        lines.append(f"Forward GFLOPs (batch={batch}, XLA cost_analysis): "
+                     f"{flops / 1e9:.2f}")
+    return {"params": n_params, "flops": flops, "modules": rows,
+            "text": "\n".join(lines)}
 
 
 def dump_hlo(model, input_hw, path: str, batch: int = 1,
