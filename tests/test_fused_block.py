@@ -1,0 +1,102 @@
+"""FusedBranchChain correctness vs the unfused flax BranchChain.
+
+The fused module must be a drop-in: identical variable tree, identical
+forward values (reference impl on CPU; the Pallas impl is validated via
+interpret mode), identical train-mode batch_stats updates, and matching
+gradients.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fhpe_tpu.models.pose_hrnet import BranchChain
+from fhpe_tpu.ops.fused_block import FusedBranchChain, chain_reference
+
+B, H, W, C = 8, 16, 16, 32
+NB = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    x = jnp.asarray(np.random.RandomState(0).randn(B, H, W, C), jnp.float32)
+    ref = BranchChain("BASIC", C, NB, C, dtype=jnp.float32)
+    variables = ref.init(jax.random.PRNGKey(1), x, train=True)
+    return x, ref, variables
+
+
+def test_variable_tree_identical(setup):
+    x, ref, variables = setup
+    fused = FusedBranchChain(planes=C, num_blocks=NB, dtype=jnp.float32,
+                             impl="reference")
+    fvars = fused.init(jax.random.PRNGKey(1), x, train=True)
+
+    ref_paths = {jax.tree_util.keystr(p): l.shape for p, l in
+                 jax.tree_util.tree_flatten_with_path(variables)[0]}
+    fused_paths = {jax.tree_util.keystr(p): l.shape for p, l in
+                   jax.tree_util.tree_flatten_with_path(fvars)[0]}
+    assert ref_paths == fused_paths
+
+
+def _apply(module, variables, x, train):
+    if train:
+        out, mut = module.apply(variables, x, train=True,
+                                mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    return module.apply(variables, x, train=False), None
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_forward_matches_unfused(setup, train):
+    x, ref, variables = setup
+    fused = FusedBranchChain(planes=C, num_blocks=NB, dtype=jnp.float32,
+                             impl="reference")
+
+    out_ref, stats_ref = _apply(ref, variables, x, train)
+    out_fused, stats_fused = _apply(fused, variables, x, train)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    if train:
+        for (p, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(stats_fused)[0],
+                jax.tree_util.tree_flatten_with_path(stats_ref)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(p))
+
+
+def test_gradients_match_unfused(setup):
+    x, ref, variables = setup
+    fused = FusedBranchChain(planes=C, num_blocks=NB, dtype=jnp.float32,
+                             impl="reference")
+
+    def loss(module, params):
+        out, _ = module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.mean(jnp.square(out))
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(fused, p))(variables["params"])
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_fused)[0],
+            jax.tree_util.tree_flatten_with_path(g_ref)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(p))
+
+
+def test_bf16_forward_close(setup):
+    """bf16 compute path: fused reference vs unfused within bf16 tolerance."""
+    x, _, variables = setup
+    xb = x.astype(jnp.bfloat16)
+    ref16 = BranchChain("BASIC", C, NB, C, dtype=jnp.bfloat16)
+    fused16 = FusedBranchChain(planes=C, num_blocks=NB, dtype=jnp.bfloat16,
+                               impl="reference")
+    a, _ = _apply(ref16, variables, xb, True)
+    b, _ = _apply(fused16, variables, xb, True)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               rtol=0.05, atol=0.05)
