@@ -123,11 +123,15 @@ def max_pool_3x3_s2(x):
 
 
 def upsample_nearest(x, factor: int = 2):
-    """Nearest-neighbor upsample in NHWC (reference nn.Upsample(scale_factor))."""
+    """Nearest-neighbor upsample in NHWC (reference nn.Upsample(scale_factor)).
+
+    Single broadcast+reshape (one materialization, fusable) instead of two
+    sequential jnp.repeat materializations.
+    """
     b, h, w, c = x.shape
-    x = jnp.repeat(x, factor, axis=1)
-    x = jnp.repeat(x, factor, axis=2)
-    return x
+    y = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (b, h, factor, w, factor, c))
+    return y.reshape(b, h * factor, w * factor, c)
 
 
 def param_count(params) -> int:
