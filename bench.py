@@ -29,7 +29,13 @@ import numpy as np
 REFERENCE_TOTAL_IMGS_PER_SEC = 140.0   # documented estimate, see docstring
 NORTH_STAR_PER_CHIP = 2.0 * REFERENCE_TOTAL_IMGS_PER_SEC / 8.0
 
-BATCH = 64   # per-chip; teacher s8/f256 forward + student train fits b=64
+import os
+
+# Per-chip batch; teacher s8/f256 eval forward + student train step.
+# A/B on v5e (differenced): b=64 602 img/s/chip, b=128 724 (+20%) — the
+# teacher forward saves no activations, so the workload scales past the
+# round-1 "fits b=64" assumption. FHPE_BENCH_BATCH overrides for A/B runs.
+BATCH = int(os.environ.get("FHPE_BENCH_BATCH", "128"))
 IMAGE = 256
 JOINTS = 16
 WARMUP = 3
