@@ -138,8 +138,10 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
     perm = flip_pair_permutation(meta["num_joints"], meta["flip_pairs"])
     prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
                if cfg.TPU.DEVICE_PREPROCESS else None)
+    debug = bool(cfg.DEBUG.DEBUG and output_dir)
     eval_step = make_eval_step(model, cfg, mesh, multi_output,
-                               flip_perm=perm, prepare=prepare)
+                               flip_perm=perm, prepare=prepare,
+                               debug_outputs=debug)
 
     num_samples = len(val_loader.source)
     num_joints = meta["num_joints"]
@@ -151,9 +153,10 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
     valids_total = np.zeros(num_joints)
     idx = 0
     t0 = time.time()
+    n_batches = len(val_loader)
     from ..parallel.mesh import prefetch_to_device
-    for dev, batch in prefetch_to_device(iter(val_loader), mesh,
-                                         transform=eval_batch_transform(cfg)):
+    for i, (dev, batch) in enumerate(prefetch_to_device(
+            iter(val_loader), mesh, transform=eval_batch_transform(cfg))):
         out = eval_step(variables, dev)
         valid = batch["valid"]
         n = int(valid.sum())
@@ -180,6 +183,22 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
         batch_acc = float((hits[has] / valids[has]).mean()) if has.any() else 0.0
         accs.update(batch_acc, max(int(has.sum()), 1))
         idx += n
+
+        if i % cfg.PRINT_FREQ == 0:
+            if logger:
+                logger.info(
+                    f"Test: [{i}/{n_batches}]\t"
+                    f"Loss {losses.val:.4f} ({losses.avg:.4f})\t"
+                    f"Accuracy {accs.val:.3f} ({accs.avg:.3f})")
+            if debug:
+                # reference function.py:286-289: val-batch image dumps
+                import os
+                from ..utils.vis import save_debug_images
+                save_debug_images(
+                    cfg, batch["image"], batch["joints"],
+                    batch["joints_vis"][..., None],
+                    np.asarray(out["target"]), np.asarray(out["output"]),
+                    os.path.join(output_dir, f"val_{i}"))
 
     has = valids_total > 0
     overall_acc = (float((hits_total[has] / valids_total[has]).mean())

@@ -306,13 +306,16 @@ def make_fpd_train_step(model, teacher_model, cfg, mesh,
 
 
 def make_eval_step(model, cfg, mesh, multi_output: bool,
-                   flip_perm=None, prepare=None) -> Callable:
+                   flip_perm=None, prepare=None,
+                   debug_outputs: bool = False) -> Callable:
     """Returns jitted ``(variables, batch) -> outputs``.
 
     batch: {"image", "target", "target_weight", "inv_trans" (B,2,3)}.
     outputs: {"preds" (B,J,2) source-image coords, "maxvals" (B,J),
               "loss" (), "hits"/"valids" (J,)} — per-sample arrays sharded
-    back to the host, meters reduced across devices.
+    back to the host, meters reduced across devices.  With
+    ``debug_outputs`` the (flip-averaged) heatmaps and targets also return
+    for DEBUG.* image dumps (reference function.py:286-289).
     """
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     use_ohkm = bool(cfg.LOSS.USE_OHKM)
@@ -361,14 +364,22 @@ def make_eval_step(model, cfg, mesh, multi_output: bool,
         hits, valids = _pck_counts(output, batch["target"], mask)
         hits = jax.lax.psum(hits, DATA_AXIS)
         valids = jax.lax.psum(valids, DATA_AXIS)
-        return {"preds": preds, "maxvals": maxvals, "loss": loss,
-                "hits": hits, "valids": valids}
+        result = {"preds": preds, "maxvals": maxvals, "loss": loss,
+                  "hits": hits, "valids": valids}
+        if debug_outputs:
+            result["output"] = output
+            result["target"] = batch["target"]
+        return result
 
+    out_specs = {"preds": P(DATA_AXIS), "maxvals": P(DATA_AXIS),
+                 "loss": P(), "hits": P(), "valids": P()}
+    if debug_outputs:
+        out_specs["output"] = P(DATA_AXIS)
+        out_specs["target"] = P(DATA_AXIS)
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs={"preds": P(DATA_AXIS), "maxvals": P(DATA_AXIS),
-                   "loss": P(), "hits": P(), "valids": P()},
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -56,8 +56,14 @@ def test_train_then_test_cli(tmp_path):
     assert (run_dir / "checkpoint.msgpack").exists()
     assert (run_dir / "final_state.msgpack").exists()
     assert (run_dir / "config.yaml").exists()
-    # debug images dumped
-    assert any(f.name.endswith("_gt.jpg") for f in run_dir.iterdir())
+    # debug images dumped: train-loop batches and validate batches
+    # (reference function.py:95 and :289)
+    assert any(f.name.startswith("train_") and f.name.endswith("_gt.jpg")
+               for f in run_dir.iterdir())
+    assert any(f.name.startswith("val_") and f.name.endswith("_gt.jpg")
+               for f in run_dir.iterdir())
+    assert any(f.name.startswith("val_") and f.name.endswith("_hm_pred.jpg")
+               for f in run_dir.iterdir())
 
     _run_main(test_cli, ["test", "--cfg", cfg_path, "TEST.MODEL_FILE",
                          str(run_dir / "final_state.msgpack")])
