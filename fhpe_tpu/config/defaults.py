@@ -92,6 +92,9 @@ def _base() -> CfgNode:
     c.DATASET.NUM_JOINTS_HALF_BODY = 8
     c.DATASET.COLOR_RGB = False
     c.DATASET.CACHE_ROOT = "data/cache"
+    # TPU-build extension: synthetic-dataset train size (val = half);
+    # lets hermetic convergence soaks scale past the 64-sample smoke db.
+    c.DATASET.SYNTH_SIZE = 64
 
     c.TRAIN = CfgNode()
     c.TRAIN.LR_FACTOR = 0.1

@@ -51,7 +51,8 @@ def _build_db_raw(cfg, image_set: str, is_train: bool):
     cache = cfg.DATASET.CACHE_ROOT or None
     if name == "synthetic":
         out = os.path.join(root or "/tmp/fhpe_synth", image_set)
-        n = 64 if is_train else 32
+        size = int(cfg.DATASET.get("SYNTH_SIZE", 64))
+        n = size if is_train else max(size // 2, 1)
         return make_synthetic_db(
             out, n, cfg.MODEL.NUM_JOINTS,
             (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]),

@@ -101,3 +101,15 @@ def test_unknown_model_name():
     cfg.MODEL.NAME = "no_such_model"
     with pytest.raises(KeyError):
         get_pose_net(cfg)
+
+
+def test_upsample_nearest_matches_repeat():
+    """The broadcast+reshape upsample must equal the two-repeat reference
+    (torch nn.Upsample(scale_factor=k, mode='nearest') semantics)."""
+    from fhpe_tpu.models.common import upsample_nearest
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 7, 3))
+    for k in (2, 4):
+        ref = jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
+        np.testing.assert_array_equal(np.asarray(upsample_nearest(x, k)),
+                                      np.asarray(ref))
