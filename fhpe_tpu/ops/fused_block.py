@@ -169,14 +169,21 @@ def _eligible(x, num_blocks: int) -> bool:
     platform = jax.default_backend()
     if platform not in ("tpu", "axon"):
         return False
-    return kernel_eligible(x.shape)
+    return kernel_eligible(x.shape, num_blocks)
 
 
 def chain_fused(x, params_list, stats_list, train: bool,
                 dtype=jnp.bfloat16, impl: str = "auto"):
-    """Dispatch: Pallas fused chain on TPU when eligible, else reference."""
+    """Dispatch: Pallas fused chain on TPU when eligible, else reference.
+
+    The Pallas kernels are forward-only (no custom VJP yet), so ``auto``
+    selects them only in eval mode; a train-mode chain under ``jax.grad``
+    must use the reference path.  ``impl='pallas'`` forces the kernel
+    (forward-only callers, e.g. benchmarking / eval pipelines).
+    """
     use_pallas = (impl == "pallas" or
-                  (impl == "auto" and _eligible(x, len(params_list))))
+                  (impl == "auto" and not train
+                   and _eligible(x, len(params_list))))
     if not use_pallas:
         return chain_reference(x, params_list, stats_list, train, dtype)
 

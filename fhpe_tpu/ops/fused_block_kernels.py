@@ -53,7 +53,7 @@ def _group_width(c: int) -> int:
     return max(1, 128 // c)
 
 
-def kernel_eligible(shape) -> bool:
+def kernel_eligible(shape, num_blocks: int = 4) -> bool:
     """Static shape gating for the fused chain kernels."""
     if len(shape) != 4:
         return False
@@ -63,9 +63,12 @@ def kernel_eligible(shape) -> bool:
     g = _group_width(c)
     if w % g or b % BT:
         return False
-    # whole-batch buffers: in + out + 3 scratch (bf16) + working margin
+    # whole-batch buffers: in + out + 3 scratch (bf16), the expanded
+    # weight matrices (2 convs/block, (3*(g+2)*C, g*C) bf16 each — scales
+    # with num_blocks and C^2), and a working margin for tile temporaries.
     tensor = b * h * w * c * 2
-    if 5 * tensor + 16 * 1024 * 1024 > VMEM_BUDGET:
+    weights = 2 * num_blocks * (3 * (g + 2) * c) * (g * c) * 2
+    if 5 * tensor + weights + 16 * 1024 * 1024 > VMEM_BUDGET:
         return False
     return True
 

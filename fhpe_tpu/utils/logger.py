@@ -92,8 +92,15 @@ class WindowedMeters:
         self.speed = 0.0
 
     def push(self, metrics, batch_size: int):
-        """Queue one dispatched step's metrics (no sync)."""
-        self._pending.append((metrics, batch_size))
+        """Queue one dispatched step's metrics (no sync).
+
+        Only the scalar meter keys are retained: debug tensors
+        (``output``/``target`` heatmaps under DEBUG.DEBUG) must not be
+        pinned for a whole PRINT_FREQ window of device buffers.
+        """
+        keep = {k: metrics[k] for k in (*self.value_keys, "acc", "acc_cnt")
+                if k in metrics}
+        self._pending.append((keep, batch_size))
         self._steps += 1
 
     def drain(self):

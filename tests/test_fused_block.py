@@ -1,9 +1,9 @@
 """FusedBranchChain correctness vs the unfused flax BranchChain.
 
 The fused module must be a drop-in: identical variable tree, identical
-forward values (reference impl on CPU; the Pallas impl is validated via
-interpret mode), identical train-mode batch_stats updates, and matching
-gradients.
+forward values, identical train-mode batch_stats updates, and matching
+gradients; the Pallas kernels themselves are pinned against
+chain_reference in interpret mode (runs on CPU).
 """
 
 import numpy as np
@@ -100,3 +100,25 @@ def test_bf16_forward_close(setup):
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_chain_pallas_interpret_matches_reference(setup, train):
+    """The Pallas kernels themselves (interpret mode on CPU) must match
+    chain_reference: conv formulation, stats fold, scratch rotation."""
+    from fhpe_tpu.ops.fused_block_kernels import chain_pallas
+
+    x, ref, variables = setup
+    params_list = [variables["params"][f"b{i}"] for i in range(NB)]
+    stats_list = [variables["batch_stats"][f"b{i}"] for i in range(NB)]
+
+    y_ref, stats_ref = chain_reference(x, params_list, stats_list, train,
+                                       jnp.float32)
+    y_pl, stats_pl = chain_pallas(x, params_list, stats_list, train,
+                                  jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+    for sr, sp in zip(jax.tree_util.tree_leaves(stats_ref),
+                      jax.tree_util.tree_leaves(stats_pl)):
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sr),
+                                   rtol=2e-3, atol=2e-3)
