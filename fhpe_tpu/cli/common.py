@@ -64,15 +64,20 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
 
     train_loader = None
     if train:
+        import jax
         src = PoseDataSource(cfg, db_train, is_train=True,
                              flip_pairs=meta["flip_pairs"],
                              upper_body_ids=meta["upper_body_ids"],
                              joints_weight=meta["joints_weight"])
+        # batch_size is GLOBAL; under multi-host each process yields its
+        # own slice of every global batch (loader process sharding).
         train_loader = BatchLoader(
             src, batch_size=cfg.TRAIN.BATCH_SIZE_PER_GPU * n_devices,
             shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
             host_targets=not cfg.TPU.DEVICE_PREPROCESS,
-            num_threads=max(2, cfg.WORKERS))
+            num_threads=max(2, cfg.WORKERS),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     val_src = PoseDataSource(cfg, db_val, is_train=False,
                              flip_pairs=meta["flip_pairs"],
@@ -84,6 +89,29 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
         host_targets=not cfg.TPU.DEVICE_PREPROCESS,
         num_threads=max(2, cfg.WORKERS))
     return train_loader, val_loader, meta
+
+
+def is_main_process() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
+def multihost_eval_setup(mesh, variables):
+    """(eval_mesh, eval_variables, run_eval) for validation.
+
+    Single-process: unchanged.  Multi-host: validation runs on process 0
+    over its LOCAL devices only (the eval pass needs no cross-host
+    collectives; the val loader is not process-sharded), with variables
+    pulled to host so the local-mesh jit can place them freely.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return mesh, variables, True
+    from ..parallel.mesh import get_local_mesh
+    if not is_main_process():
+        return mesh, variables, False
+    host_vars = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+    return get_local_mesh(), host_vars, True
 
 
 def train_batch_keys(cfg):

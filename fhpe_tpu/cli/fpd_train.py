@@ -26,8 +26,9 @@ from ..utils.checkpoint import (auto_resume, load_model_weights,
                                 save_checkpoint, save_final_state)
 from ..utils.logger import create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
-from .common import (build_loaders, load_cfg_from_args,
-                     make_evaluate_fn, parse_args, validate)
+from .common import (build_loaders, is_main_process, load_cfg_from_args,
+                     make_evaluate_fn, multihost_eval_setup, parse_args,
+                     validate)
 from ..utils.logger import WindowedMeters
 
 
@@ -150,7 +151,8 @@ def main():
     step_fn = make_fpd_train_step(
         student, teacher, cfg, mesh, is_multi_output(student),
         is_multi_output(teacher), prepare=prepare,
-        debug_outputs=cfg.DEBUG.DEBUG, teacher_cfg=tcfg)
+        debug_outputs=cfg.DEBUG.DEBUG and jax.process_count() == 1,
+        teacher_cfg=tcfg)
     evaluate_fn = make_evaluate_fn(cfg)
 
     writer = None
@@ -161,15 +163,20 @@ def main():
         pass
 
     # pre-training sanity validation of both models (fpd_train.py:242-250)
-    logger.info("=> validating teacher before training")
-    tperf, *_ = validate(cfg, teacher, tvars, val_loader, mesh, meta, logger,
-                         is_multi_output(teacher), evaluate_fn, output_dir)
-    logger.info(f"=> teacher perf: {tperf:.4f}")
-    logger.info("=> validating student before training")
-    svars = {"params": state.params, "batch_stats": state.batch_stats}
-    sperf, *_ = validate(cfg, student, svars, val_loader, mesh, meta, logger,
-                         is_multi_output(student), evaluate_fn, output_dir)
-    logger.info(f"=> student perf: {sperf:.4f}")
+    eval_mesh, eval_tvars, run_eval = multihost_eval_setup(mesh, tvars)
+    if run_eval:
+        logger.info("=> validating teacher before training")
+        tperf, *_ = validate(cfg, teacher, eval_tvars, val_loader, eval_mesh,
+                             meta, logger, is_multi_output(teacher),
+                             evaluate_fn, output_dir)
+        logger.info(f"=> teacher perf: {tperf:.4f}")
+        logger.info("=> validating student before training")
+        svars = {"params": state.params, "batch_stats": state.batch_stats}
+        _, eval_svars, _ = multihost_eval_setup(mesh, svars)
+        sperf, *_ = validate(cfg, student, eval_svars, val_loader, eval_mesh,
+                             meta, logger, is_multi_output(student),
+                             evaluate_fn, output_dir)
+        logger.info(f"=> student perf: {sperf:.4f}")
 
     global_step = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
@@ -179,19 +186,23 @@ def main():
             writer, global_step, output_dir)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        perf, *_ = validate(cfg, student, variables, val_loader, mesh, meta,
-                            logger, is_multi_output(student), evaluate_fn,
-                            output_dir)
-        if writer is not None:
-            writer.add_scalar("valid_perf", float(perf), epoch)
+        eval_mesh, eval_vars, run_eval = multihost_eval_setup(mesh, variables)
+        if run_eval:
+            perf, *_ = validate(cfg, student, eval_vars, val_loader,
+                                eval_mesh, meta, logger,
+                                is_multi_output(student), evaluate_fn,
+                                output_dir)
+            if writer is not None:
+                writer.add_scalar("valid_perf", float(perf), epoch)
 
-        is_best = perf >= best_perf
-        best_perf = max(perf, best_perf)
-        save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
-        logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
-                    f"best {best_perf:.4f})")
+            is_best = perf >= best_perf
+            best_perf = max(perf, best_perf)
+            save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+            logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
+                        f"best {best_perf:.4f})")
 
-    save_final_state(output_dir, state)
+    if is_main_process():
+        save_final_state(output_dir, state)
     if writer is not None:
         writer.close()
 

@@ -23,7 +23,7 @@ from ..utils.checkpoint import FINAL_NAME, load_model_weights
 from ..utils.logger import create_logger
 from ..utils.summary import get_model_summary
 from .common import (build_loaders, load_cfg_from_args, make_evaluate_fn,
-                     parse_args, validate)
+                     multihost_eval_setup, parse_args, validate)
 
 
 def main():
@@ -51,10 +51,12 @@ def main():
 
     _, val_loader, meta = build_loaders(cfg, n_dev, train=False)
     evaluate_fn = make_evaluate_fn(cfg)
-    perf, name_values, *_ = validate(
-        cfg, model, variables, val_loader, mesh, meta, logger,
-        is_multi_output(model), evaluate_fn, output_dir)
-    logger.info(f"=> final perf: {perf:.4f}")
+    eval_mesh, eval_vars, run_eval = multihost_eval_setup(mesh, variables)
+    if run_eval:
+        perf, name_values, *_ = validate(
+            cfg, model, eval_vars, val_loader, eval_mesh, meta, logger,
+            is_multi_output(model), evaluate_fn, output_dir)
+        logger.info(f"=> final perf: {perf:.4f}")
 
 
 if __name__ == "__main__":

@@ -29,8 +29,9 @@ from ..utils.checkpoint import (auto_resume, save_checkpoint,
 from ..utils.logger import WindowedMeters, create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from ..utils.vis import save_debug_images
-from .common import (build_loaders, load_cfg_from_args,
-                     make_evaluate_fn, parse_args, validate)
+from .common import (build_loaders, is_main_process, load_cfg_from_args,
+                     make_evaluate_fn, multihost_eval_setup, parse_args,
+                     validate)
 
 
 def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
@@ -129,7 +130,8 @@ def main():
                if cfg.TPU.DEVICE_PREPROCESS else None)
     step_fn = make_train_step(model, cfg, mesh, is_multi_output(model),
                               prepare=prepare,
-                              debug_outputs=cfg.DEBUG.DEBUG)
+                              debug_outputs=cfg.DEBUG.DEBUG
+                              and jax.process_count() == 1)
     evaluate_fn = make_evaluate_fn(cfg)
 
     writer = None
@@ -147,20 +149,23 @@ def main():
             global_step, output_dir)
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        perf, name_values, *_ = validate(
-            cfg, model, variables, val_loader, mesh, meta, logger,
-            is_multi_output(model), evaluate_fn, output_dir)
-        if writer is not None:
-            writer.add_scalar("valid_perf", float(perf), epoch)
+        eval_mesh, eval_vars, run_eval = multihost_eval_setup(mesh, variables)
+        if run_eval:
+            perf, name_values, *_ = validate(
+                cfg, model, eval_vars, val_loader, eval_mesh, meta, logger,
+                is_multi_output(model), evaluate_fn, output_dir)
+            if writer is not None:
+                writer.add_scalar("valid_perf", float(perf), epoch)
 
-        is_best = perf >= best_perf
-        best_perf = max(perf, best_perf)
-        logger.info(f"=> saving checkpoint to {output_dir} "
-                    f"(perf {perf:.4f}, best {best_perf:.4f})")
-        save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+            is_best = perf >= best_perf
+            best_perf = max(perf, best_perf)
+            logger.info(f"=> saving checkpoint to {output_dir} "
+                        f"(perf {perf:.4f}, best {best_perf:.4f})")
+            save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
 
-    save_final_state(output_dir, state)
-    logger.info(f"=> saved final state to {output_dir}")
+    if is_main_process():
+        save_final_state(output_dir, state)
+        logger.info(f"=> saved final state to {output_dir}")
     if writer is not None:
         writer.close()
 

@@ -265,12 +265,24 @@ class BatchLoader:
     def __init__(self, source: PoseDataSource, batch_size: int,
                  shuffle: bool = True, drop_last: bool = False,
                  host_targets: bool = False, num_threads: int = 8,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch.  Multi-host: construct with
+        this process's (index, count) and the same seed everywhere; every
+        process draws the identical global permutation and yields its own
+        contiguous ``batch_size/process_count`` slice of each global batch
+        (matching ``shard_batch``'s process-local assembly)."""
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count {process_count}")
         self.source = source
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.host_targets = host_targets
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
         self.rng = np.random.RandomState(seed)
         # Two pools: batch-level tasks block on sample-level tasks, so they
         # must NOT share workers (num_threads <= prefetch would deadlock).
@@ -287,7 +299,8 @@ class BatchLoader:
             lambda ip: self.source.get_sample(ip[0], self.host_targets,
                                               params=ip[1]),
             zip(idxs, params)))
-        return collate(samples, pad_to=self.batch_size)
+        return collate(samples,
+                       pad_to=self.batch_size // self.process_count)
 
     def _submit(self, idxs):
         # Augmentation draws happen HERE, on the iterating thread, in batch
@@ -308,6 +321,13 @@ class BatchLoader:
         batches = [order[i:i + bs] for i in range(0, n, bs)]
         if self.drop_last and len(batches) and len(batches[-1]) < bs:
             batches.pop()
+        if self.process_count > 1:
+            # this process's contiguous slice of every global batch (mesh
+            # device order is process-major, so slice k maps to host k)
+            loc = bs // self.process_count
+            lo = self.process_index * loc
+            batches = [b[lo:lo + loc] for b in batches]
+            batches = [b for b in batches if len(b)]
 
         futures = []
         it = iter(batches)

@@ -115,3 +115,35 @@ def test_flip_and_rotation_augmentation_fire(synth):
     assert any(r != 0 for r in rotations)
     assert any(r == 0 for r in rotations)
     assert any(flips) and not all(flips)
+
+
+def test_batchloader_process_sharding(synth):
+    """Multi-host semantics: every process draws the same global
+    permutation and yields its contiguous slice of each global batch —
+    slices are disjoint, ordered, and their union is the global batch."""
+    cfg = _cfg()
+    meta = dataset_meta("mpii")
+
+    def collect(pi, pc):
+        src = PoseDataSource(cfg, list(synth) * 2, is_train=False,
+                             flip_pairs=meta["flip_pairs"],
+                             upper_body_ids=meta["upper_body_ids"])
+        loader = BatchLoader(src, batch_size=8, shuffle=True, drop_last=True,
+                             host_targets=True, seed=3,
+                             process_index=pi, process_count=pc)
+        return [b["image_path"] for b in loader]
+
+    world = [collect(pi, 4) for pi in range(4)]
+    ref = collect(0, 1)
+    assert all(len(w) == len(ref) for w in world)
+    for bi, full in enumerate(ref):
+        merged = [p for w in world for p in w[bi]]
+        assert merged == list(full)  # disjoint cover, in order
+        for w in world:
+            assert len(w[bi]) == 2  # 8 / 4 processes
+
+    with pytest.raises(ValueError):
+        BatchLoader(PoseDataSource(cfg, list(synth), is_train=False,
+                                   flip_pairs=meta["flip_pairs"],
+                                   upper_body_ids=meta["upper_body_ids"]),
+                    batch_size=6, process_index=0, process_count=4)
