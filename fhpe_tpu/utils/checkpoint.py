@@ -6,12 +6,21 @@ Same semantics as the reference (``lib/utils/utils.py:78-83,204-258``,
 ``final_state`` at the end; AUTO_RESUME restores epoch/best-perf/model/
 optimizer.  Serialization is flax msgpack over numpy-converted pytrees
 (no torch pickle).
+
+Production hardening beyond the reference: writes are ATOMIC (tmp +
+``os.replace`` — a preemption mid-write can't corrupt the rolling
+checkpoint AUTO_RESUME depends on) and ASYNC (the D2H snapshot happens on
+the caller, serialization + file IO on a background thread, one write in
+flight — the next epoch trains while the previous epoch's state hits
+disk).  ``flush_pending`` joins outstanding writes; every read path calls
+it first.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict
 
 import jax
@@ -22,44 +31,72 @@ CKPT_NAME = "checkpoint.msgpack"
 BEST_NAME = "model_best.msgpack"
 FINAL_NAME = "final_state.msgpack"
 
+_writer = ThreadPoolExecutor(max_workers=1)
+_pending = []
+
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _write_atomic(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def flush_pending() -> None:
+    """Join all in-flight checkpoint writes (re-raises their errors)."""
+    while _pending:
+        _pending.pop(0).result()
+
+
 def save_checkpoint(output_dir: str, state, epoch: int, perf: float,
-                    is_best: bool, filename: str = CKPT_NAME) -> None:
+                    is_best: bool, filename: str = CKPT_NAME,
+                    async_write: bool = True) -> None:
     """Write rolling checkpoint; snapshot params on best perf."""
     os.makedirs(output_dir, exist_ok=True)
+    # Snapshot to host on the caller (the unavoidable D2H); keep at most
+    # one write in flight so memory holds one extra state copy.
+    flush_pending()
     payload = {
         "epoch": epoch,
         "perf": float(perf),
         "state": serialization.to_state_dict(_to_numpy(state)),
     }
-    with open(os.path.join(output_dir, filename), "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
-    with open(os.path.join(output_dir, "checkpoint_meta.json"), "w") as f:
-        json.dump({"epoch": epoch, "perf": float(perf)}, f)
+    best = None
     if is_best:
-        best = {
-            "params": serialization.to_state_dict(_to_numpy(state.params)),
-            "batch_stats": serialization.to_state_dict(
-                _to_numpy(state.batch_stats)),
-        }
-        with open(os.path.join(output_dir, BEST_NAME), "wb") as f:
-            f.write(serialization.msgpack_serialize(best))
+        best = {"params": payload["state"]["params"],
+                "batch_stats": payload["state"].get("batch_stats", {})}
+
+    def work():
+        _write_atomic(os.path.join(output_dir, filename),
+                      serialization.msgpack_serialize(payload))
+        with open(os.path.join(output_dir, "checkpoint_meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "perf": float(perf)}, f)
+        if best is not None:
+            _write_atomic(os.path.join(output_dir, BEST_NAME),
+                          serialization.msgpack_serialize(best))
+
+    if async_write:
+        _pending.append(_writer.submit(work))
+    else:
+        work()
 
 
 def save_final_state(output_dir: str, state) -> None:
+    flush_pending()
     best = {
         "params": serialization.to_state_dict(_to_numpy(state.params)),
         "batch_stats": serialization.to_state_dict(_to_numpy(state.batch_stats)),
     }
-    with open(os.path.join(output_dir, FINAL_NAME), "wb") as f:
-        f.write(serialization.msgpack_serialize(best))
+    _write_atomic(os.path.join(output_dir, FINAL_NAME),
+                  serialization.msgpack_serialize(best))
 
 
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    flush_pending()
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -81,6 +118,7 @@ def load_model_weights(path: str) -> Dict[str, Any]:
 
 def auto_resume(output_dir: str, state):
     """(state, begin_epoch, best_perf) — resume if a checkpoint exists."""
+    flush_pending()
     path = os.path.join(output_dir, CKPT_NAME)
     if not os.path.exists(path):
         return state, None, None

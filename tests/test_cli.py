@@ -76,3 +76,21 @@ def test_missing_model_file_errors(tmp_path):
     with pytest.raises(SystemExit):
         _run_main(test_cli, ["test", "--cfg", cfg_path, "TEST.MODEL_FILE",
                              "/does/not/exist.msgpack"])
+
+
+def test_checkpoint_async_atomic(tmp_path):
+    """Async save must be joinable, loadable, and leave no .tmp files."""
+    import jax.numpy as jnp
+    from fhpe_tpu.utils import checkpoint as ck
+
+    state = {"params": {"w": jnp.ones((4, 4))},
+             "batch_stats": {"m": jnp.zeros((4,))}}
+
+    out = str(tmp_path / "ck")
+    ck.save_checkpoint(out, state, epoch=3, perf=0.5, is_best=True)
+    ck.flush_pending()
+    payload = ck.load_checkpoint_file(os.path.join(out, ck.CKPT_NAME))
+    assert payload["epoch"] == 3 and payload["perf"] == 0.5
+    best = ck.load_model_weights(os.path.join(out, ck.BEST_NAME))
+    assert np.allclose(best["params"]["w"], 1.0)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
