@@ -119,6 +119,12 @@ def main() -> None:
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / NORTH_STAR_PER_CHIP, 3),
+        # The reference publishes no throughput (BASELINE.md); the divisor
+        # is the documented ~140 img/s ESTIMATE (docstring above), x2
+        # north-star, /8 chips.  Flagged so vs_baseline is never quoted as
+        # a measured-reference comparison.
+        "baseline_estimated": True,
+        "baseline_estimate_imgs_per_sec_total": REFERENCE_TOTAL_IMGS_PER_SEC,
     }))
 
 

@@ -83,8 +83,14 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
                              flip_pairs=meta["flip_pairs"],
                              upper_body_ids=meta["upper_body_ids"],
                              joints_weight=meta["joints_weight"])
+    # Validation runs on process 0's LOCAL devices (multihost_eval_setup),
+    # so size the eval batch by the local device count — a global-sized
+    # batch would scale per-device eval memory/time with process_count.
+    import jax
+    n_val_devices = (min(n_devices, len(jax.local_devices()))
+                     if jax.process_count() > 1 else n_devices)
     val_loader = BatchLoader(
-        val_src, batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * n_devices,
+        val_src, batch_size=cfg.TEST.BATCH_SIZE_PER_GPU * n_val_devices,
         shuffle=False, drop_last=False,
         host_targets=not cfg.TPU.DEVICE_PREPROCESS,
         num_threads=max(2, cfg.WORKERS))

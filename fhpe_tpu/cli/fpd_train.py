@@ -22,7 +22,7 @@ from ..models import get_pose_net, is_multi_output
 from ..parallel.mesh import get_mesh
 from ..train.state import create_train_state, lr_for_epoch, set_lr
 from ..train.step import make_batch_preprocessor, make_fpd_train_step
-from ..utils.checkpoint import (auto_resume, load_model_weights,
+from ..utils.checkpoint import (auto_resume_multihost, load_model_weights,
                                 save_checkpoint, save_final_state)
 from ..utils.logger import create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
@@ -141,7 +141,7 @@ def main():
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     best_perf = -1.0
     if cfg.AUTO_RESUME:
-        state, ckpt_epoch, ckpt_perf = auto_resume(output_dir, state)
+        state, ckpt_epoch, ckpt_perf = auto_resume_multihost(output_dir, state)
         if ckpt_epoch is not None:
             begin_epoch, best_perf = ckpt_epoch, ckpt_perf
             logger.info(f"=> auto-resumed from epoch {begin_epoch}")

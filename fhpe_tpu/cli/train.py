@@ -24,7 +24,7 @@ from ..models import get_pose_net, is_multi_output
 from ..parallel.mesh import get_mesh
 from ..train.state import create_train_state, lr_for_epoch, set_lr
 from ..train.step import make_batch_preprocessor, make_train_step
-from ..utils.checkpoint import (auto_resume, save_checkpoint,
+from ..utils.checkpoint import (auto_resume_multihost, save_checkpoint,
                                 save_final_state)
 from ..utils.logger import WindowedMeters, create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
@@ -119,7 +119,7 @@ def main():
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     best_perf = -1.0
     if cfg.AUTO_RESUME:
-        state, ckpt_epoch, ckpt_perf = auto_resume(output_dir, state)
+        state, ckpt_epoch, ckpt_perf = auto_resume_multihost(output_dir, state)
         if ckpt_epoch is not None:
             begin_epoch = ckpt_epoch
             best_perf = ckpt_perf

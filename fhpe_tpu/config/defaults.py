@@ -58,6 +58,11 @@ def _base() -> CfgNode:
     # master replica's stats (nn.DataParallel-faithful); "mean" averages
     # across devices (statistically nicer).
     c.TPU.BN_STATS = "device0"
+    # Opt-in: eval-mode HRNet branch chains run as single Pallas kernels
+    # (ops/fused_block.py) instead of per-op XLA — activations stay in
+    # VMEM across the 8 convs of a branch.  Eval-only (the kernel has no
+    # VJP); training always uses the unfused path.
+    c.TPU.FUSED_EVAL = False
 
     c.MODEL = CfgNode()
     c.MODEL.NAME = "pose_hrnet"

@@ -276,6 +276,14 @@ class BatchLoader:
             raise ValueError(
                 f"global batch {batch_size} not divisible by "
                 f"process_count {process_count}")
+        if process_count > 1 and not drop_last:
+            # A partial final global batch can leave some processes an
+            # empty slice -> unequal batch counts across hosts -> the SPMD
+            # step deadlocks.  Refuse the combination outright.
+            raise ValueError(
+                "process-sharded loading requires drop_last=True (a "
+                "partial final global batch would yield unequal batch "
+                "counts across processes and deadlock the SPMD step)")
         self.source = source
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -152,6 +152,20 @@ class HighResolutionModule(nn.Module):
     in_channels: Sequence[int]
     multi_scale_output: bool = True
     dtype: Any = jnp.bfloat16
+    fused_eval: bool = False      # cfg.TPU.FUSED_EVAL: Pallas fused chains
+
+    def _branch(self, i: int, train: bool):
+        """BranchChain, or its fused drop-in (identical variable tree) for
+        eval-mode identity BASIC chains when TPU.FUSED_EVAL is set."""
+        exp = BLOCKS[self.block].expansion
+        if (self.fused_eval and not train and self.block == "BASIC"
+                and self.in_channels[i] == self.num_channels[i] * exp):
+            from ..ops.fused_block import FusedBranchChain
+            return FusedBranchChain(self.num_channels[i], self.num_blocks[i],
+                                    dtype=self.dtype, name=f"branch{i}")
+        return BranchChain(self.block, self.num_channels[i],
+                           self.num_blocks[i], self.in_channels[i],
+                           dtype=self.dtype, name=f"branch{i}")
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool) -> List[jnp.ndarray]:
@@ -159,12 +173,7 @@ class HighResolutionModule(nn.Module):
         exp = BLOCKS[self.block].expansion
         out_ch = [c * exp for c in self.num_channels]
 
-        xs = [
-            BranchChain(self.block, self.num_channels[i], self.num_blocks[i],
-                        self.in_channels[i], dtype=self.dtype,
-                        name=f"branch{i}")(xs[i], train)
-            for i in range(nb)
-        ]
+        xs = [self._branch(i, train)(xs[i], train) for i in range(nb)]
         if nb == 1:
             return xs
 
@@ -231,6 +240,7 @@ class PoseHighResolutionNet(nn.Module):
     num_joints: int = 17
     final_conv_kernel: int = 1
     dtype: Any = jnp.bfloat16
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,6 +269,7 @@ class PoseHighResolutionNet(nn.Module):
                     scfg["BLOCK"], tuple(scfg["NUM_BLOCKS"]),
                     tuple(scfg["NUM_CHANNELS"]), tuple(cur),
                     multi_scale_output=mso, dtype=self.dtype,
+                    fused_eval=self.fused_eval,
                     name=f"stage{si}_m{m}")(xs, train)
             prev = cur
 
@@ -278,4 +289,5 @@ def get_pose_net(cfg, dtype=jnp.bfloat16) -> PoseHighResolutionNet:
         num_joints=cfg.MODEL.NUM_JOINTS,
         final_conv_kernel=extra.FINAL_CONV_KERNEL,
         dtype=dtype,
+        fused_eval=bool(cfg.TPU.get("FUSED_EVAL", False)),
     )

@@ -31,8 +31,31 @@ CKPT_NAME = "checkpoint.msgpack"
 BEST_NAME = "model_best.msgpack"
 FINAL_NAME = "final_state.msgpack"
 
-_writer = ThreadPoolExecutor(max_workers=1)
-_pending = []
+
+class _DirWriter:
+    """Async write queue for ONE output directory.
+
+    Writers are keyed per-directory so concurrent trainers in one process
+    (tests, multi-run drivers) never serialize through a shared queue and
+    ``flush_pending`` never joins another run's writes."""
+
+    def __init__(self):
+        self.pool = ThreadPoolExecutor(max_workers=1)
+        self.pending = []
+
+    def flush(self):
+        while self.pending:
+            self.pending.pop(0).result()
+
+
+_writers: Dict[str, _DirWriter] = {}
+
+
+def _writer_for(output_dir: str) -> _DirWriter:
+    key = os.path.abspath(output_dir)
+    if key not in _writers:
+        _writers[key] = _DirWriter()
+    return _writers[key]
 
 
 def _to_numpy(tree):
@@ -46,10 +69,17 @@ def _write_atomic(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def flush_pending() -> None:
-    """Join all in-flight checkpoint writes (re-raises their errors)."""
-    while _pending:
-        _pending.pop(0).result()
+def flush_pending(output_dir: str | None = None) -> None:
+    """Join in-flight checkpoint writes (re-raises their errors).
+
+    With ``output_dir``, joins only that run's writes; without, all."""
+    if output_dir is not None:
+        key = os.path.abspath(output_dir)
+        if key in _writers:
+            _writers[key].flush()
+        return
+    for w in list(_writers.values()):
+        w.flush()
 
 
 def save_checkpoint(output_dir: str, state, epoch: int, perf: float,
@@ -59,7 +89,8 @@ def save_checkpoint(output_dir: str, state, epoch: int, perf: float,
     os.makedirs(output_dir, exist_ok=True)
     # Snapshot to host on the caller (the unavoidable D2H); keep at most
     # one write in flight so memory holds one extra state copy.
-    flush_pending()
+    writer = _writer_for(output_dir)
+    writer.flush()
     payload = {
         "epoch": epoch,
         "perf": float(perf),
@@ -73,20 +104,21 @@ def save_checkpoint(output_dir: str, state, epoch: int, perf: float,
     def work():
         _write_atomic(os.path.join(output_dir, filename),
                       serialization.msgpack_serialize(payload))
-        with open(os.path.join(output_dir, "checkpoint_meta.json"), "w") as f:
-            json.dump({"epoch": epoch, "perf": float(perf)}, f)
+        meta = json.dumps({"epoch": epoch, "perf": float(perf)})
+        _write_atomic(os.path.join(output_dir, "checkpoint_meta.json"),
+                      meta.encode("utf-8"))
         if best is not None:
             _write_atomic(os.path.join(output_dir, BEST_NAME),
                           serialization.msgpack_serialize(best))
 
     if async_write:
-        _pending.append(_writer.submit(work))
+        writer.pending.append(writer.pool.submit(work))
     else:
         work()
 
 
 def save_final_state(output_dir: str, state) -> None:
-    flush_pending()
+    flush_pending(output_dir)
     best = {
         "params": serialization.to_state_dict(_to_numpy(state.params)),
         "batch_stats": serialization.to_state_dict(_to_numpy(state.batch_stats)),
@@ -96,7 +128,7 @@ def save_final_state(output_dir: str, state) -> None:
 
 
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
-    flush_pending()
+    flush_pending(os.path.dirname(path) or ".")
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -118,10 +150,39 @@ def load_model_weights(path: str) -> Dict[str, Any]:
 
 def auto_resume(output_dir: str, state):
     """(state, begin_epoch, best_perf) — resume if a checkpoint exists."""
-    flush_pending()
+    flush_pending(output_dir)
     path = os.path.join(output_dir, CKPT_NAME)
     if not os.path.exists(path):
         return state, None, None
     payload = load_checkpoint_file(path)
     state = restore_train_state(state, payload)
     return state, int(payload["epoch"]), float(payload["perf"])
+
+
+def auto_resume_multihost(output_dir: str, state):
+    """Multi-host-safe AUTO_RESUME: process 0 decides, everyone follows.
+
+    Checkpoints are written by process 0 only (``cli/train.py`` gates
+    saves on the eval process), so per-process local reads would resume
+    process 0 at epoch k and everyone else at epoch 0 — mismatched SPMD
+    step counts and LR schedules that hang or silently diverge.  Instead
+    process 0 reads its local checkpoint and the resume decision plus the
+    full restored state are broadcast to all processes
+    (``multihost_utils.broadcast_one_to_all`` over DCN); no shared
+    filesystem is required.  Single-process: plain ``auto_resume``.
+    """
+    if jax.process_count() == 1:
+        return auto_resume(output_dir, state)
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        restored, epoch, perf = auto_resume(output_dir, state)
+        found = epoch is not None
+    else:
+        restored, epoch, perf, found = state, 0, 0.0, False
+    meta = multihost_utils.broadcast_one_to_all(
+        np.asarray([float(found), float(epoch or 0), float(perf or 0.0)]))
+    if not bool(meta[0]):
+        return state, None, None
+    state = multihost_utils.broadcast_one_to_all(restored)
+    return state, int(meta[1]), float(meta[2])

@@ -122,3 +122,40 @@ def test_chain_pallas_interpret_matches_reference(setup, train):
                       jax.tree_util.tree_leaves(stats_pl)):
         np.testing.assert_allclose(np.asarray(sp), np.asarray(sr),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_eval_knob_wires_into_hrnet():
+    """cfg.TPU.FUSED_EVAL must route eval-mode identity BASIC chains
+    through FusedBranchChain with an unchanged variable tree and identical
+    eval outputs (on CPU the 'auto' impl falls back to chain_reference, so
+    this pins the *wiring*; kernel parity is pinned in interpret mode
+    above).  Training must be unaffected by the knob."""
+    from fhpe_tpu.config import load_config
+    from fhpe_tpu.models import get_pose_net
+
+    yaml = "/root/reference/experiments/coco/hrnet/w32_256x192_adam_lr1e-3.yaml"
+    cfg = load_config(yaml)
+    cfg.defrost()
+    cfg.TPU.FUSED_EVAL = False
+    plain = get_pose_net(cfg, dtype=jnp.float32)
+    cfg.TPU.FUSED_EVAL = True
+    fused = get_pose_net(cfg, dtype=jnp.float32)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    fvars = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(fvars))
+
+    out_plain = plain.apply(variables, x, train=False)
+    out_fused = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+
+    # train path ignores the knob entirely (kernel has no VJP)
+    t_plain, m1 = plain.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+    t_fused, m2 = fused.apply(variables, x, train=True,
+                              mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(t_fused), np.asarray(t_plain),
+                               rtol=1e-5, atol=1e-5)
