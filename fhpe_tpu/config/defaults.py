@@ -58,6 +58,13 @@ def _base() -> CfgNode:
     # master replica's stats (nn.DataParallel-faithful); "mean" averages
     # across devices (statistically nicer).
     c.TPU.BN_STATS = "device0"
+    # Decoded-image RAM cache budget (MB, 0 = off).  JPEG decode dominates
+    # the host pipeline (~3-5 ms/sample vs ~0.3 ms for the warp); with a
+    # budget the loader keeps decoded images (train; augmentation stays
+    # random) and finished eval samples in RAM from epoch 2 onward.
+    # Size to the decoded dataset (synthetic soak: 2048x256x256x3 = 400 MB;
+    # full MPII does not fit - leave 0 there unless RAM allows ~70 GB).
+    c.TPU.DECODE_CACHE_MB = 0
     # Opt-in: eval-mode HRNet branch chains run as single Pallas kernels
     # (ops/fused_block.py) instead of per-op XLA — activations stay in
     # VMEM across the 8 convs of a branch.  Eval-only (the kernel has no

@@ -112,6 +112,49 @@ class PoseDataSource:
         self.canvas_size = tuple(cfg.TPU.get("CANVAS_SIZE", [512, 512]))
         self.rng = np.random.RandomState(seed)
         self.pyrng = pyrandom.Random(seed)
+        # Decoded-image RAM cache (TPU.DECODE_CACHE_MB): JPEG decode is the
+        # dominant host cost per sample (~3-5 ms vs ~0.3 ms for the warp),
+        # so from epoch 2 the pipeline skips it entirely while augmentation
+        # stays fully random.  Eval samples are deterministic end-to-end,
+        # so for them the FINISHED sample (warp + targets) is cached.
+        # Thread notes: plain dict get/set under the GIL; a rare racing
+        # double-decode wastes one decode, never corrupts (arrays are
+        # immutable once inserted).  Budget accounting is approximate.
+        self._cache_budget = int(cfg.TPU.get("DECODE_CACHE_MB", 0)) * (1 << 20)
+        self._img_cache: Dict[str, np.ndarray] = {}
+        self._sample_cache: Dict = {}
+        self._cache_bytes = 0
+
+    def _cache_put(self, key, arr: np.ndarray) -> None:
+        if self._cache_bytes + arr.nbytes <= self._cache_budget:
+            arr.setflags(write=False)
+            self._img_cache[key] = arr
+            self._cache_bytes += arr.nbytes
+
+    def _read_cached(self, path: str) -> np.ndarray:
+        if self._cache_budget <= 0:
+            return _read_image(path, self.color_rgb)
+        img = self._img_cache.get(path)
+        if img is not None:
+            return img
+        img = _read_image(path, self.color_rgb)
+        self._cache_put(path, img)
+        return img
+
+    def _flipped(self, path: str, img: np.ndarray) -> np.ndarray:
+        """Contiguous horizontally-flipped image.  cv2.warpAffine on a
+        negative-stride flip VIEW internally copies and runs ~2x slower
+        (measured 0.78 vs 0.43 ms at 256^2), so materialize once and cache
+        the flipped copy alongside the decoded original.  Pixel values are
+        identical to the reference's ``img[:, ::-1, :]`` flip."""
+        if self._cache_budget <= 0:
+            return np.ascontiguousarray(img[:, ::-1, :])
+        key = (path, "flip")
+        f = self._img_cache.get(key)
+        if f is None:
+            f = np.ascontiguousarray(img[:, ::-1, :])
+            self._cache_put(key, f)
+        return f
 
     def __len__(self):
         return len(self.db)
@@ -153,8 +196,13 @@ class PoseDataSource:
                    params: Optional[Dict] = None) -> Dict:
         import cv2
 
+        if not self.is_train and self._cache_budget > 0:
+            cached = self._sample_cache.get((idx, host_targets))
+            if cached is not None:
+                return cached
+
         rec = self.db[idx]
-        img = _read_image(rec["image"], self.color_rgb)
+        img = self._read_cached(rec["image"])
         joints = np.array(rec["joints_3d"], copy=True)
         joints_vis = np.array(rec["joints_3d_vis"], copy=True)
         score = rec.get("score", 1)
@@ -166,7 +214,7 @@ class PoseDataSource:
             flipped = params["flipped"]
             if flipped:
                 if not self.device_warp:
-                    img = img[:, ::-1, :]
+                    img = self._flipped(rec["image"], img)
                 joints, joints_vis = fliplr_joints(
                     joints, joints_vis, img.shape[1], self.flip_pairs)
                 c[0] = img.shape[1] - c[0] - 1
@@ -234,6 +282,13 @@ class PoseDataSource:
                 self.sigma, self.joints_weight, self.use_diff_weight)
             sample["target"] = np.transpose(tgt, (1, 2, 0))  # NHWC
             sample["target_weight"] = tw[:, 0]
+
+        if not self.is_train and self._cache_budget > 0:
+            nbytes = sum(v.nbytes for v in sample.values()
+                         if isinstance(v, np.ndarray))
+            if self._cache_bytes + nbytes <= self._cache_budget:
+                self._sample_cache[(idx, host_targets)] = sample
+                self._cache_bytes += nbytes
         return sample
 
 
