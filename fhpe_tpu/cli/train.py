@@ -148,6 +148,10 @@ def main():
             cfg, train_loader, step_fn, state, mesh, epoch, logger, writer,
             global_step, output_dir)
 
+        eval_freq = max(1, int(cfg.TRAIN.get("EVAL_FREQ", 1)))
+        if not ((epoch + 1) % eval_freq == 0
+                or epoch + 1 == cfg.TRAIN.END_EPOCH):
+            continue
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         eval_mesh, eval_vars, run_eval = multihost_eval_setup(mesh, variables)
         if run_eval:

@@ -107,6 +107,10 @@ def _base() -> CfgNode:
     # TPU-build extension: synthetic-dataset train size (val = half);
     # lets hermetic convergence soaks scale past the 64-sample smoke db.
     c.DATASET.SYNTH_SIZE = 64
+    # Overfit-proof mode: the synthetic VAL db is the exact TRAIN db, so
+    # "val PCK" measures the memorization ceiling (a loss/target/decode/LR
+    # bug caps it; a correct pipeline must saturate it).
+    c.DATASET.SYNTH_OVERFIT = False
 
     c.TRAIN = CfgNode()
     c.TRAIN.LR_FACTOR = 0.1
@@ -124,6 +128,11 @@ def _base() -> CfgNode:
     c.TRAIN.CHECKPOINT = ""
     c.TRAIN.BATCH_SIZE_PER_GPU = 32
     c.TRAIN.SHUFFLE = True
+    # TPU-build extension: validate every N epochs (1 = reference
+    # behavior).  Long synthetic soaks with tiny epochs waste most of
+    # their wall-clock on per-epoch validation otherwise; checkpoints are
+    # written on eval epochs (and always on the final epoch).
+    c.TRAIN.EVAL_FREQ = 1
 
     c.TEST = CfgNode()
     c.TEST.BATCH_SIZE_PER_GPU = 32

@@ -50,8 +50,11 @@ def _build_db_raw(cfg, image_set: str, is_train: bool):
     root = cfg.DATASET.ROOT
     cache = cfg.DATASET.CACHE_ROOT or None
     if name == "synthetic":
-        out = os.path.join(root or "/tmp/fhpe_synth", image_set)
         size = int(cfg.DATASET.get("SYNTH_SIZE", 64))
+        if not is_train and cfg.DATASET.get("SYNTH_OVERFIT", False):
+            # memorization-ceiling runs: validate on the EXACT train db
+            is_train, image_set = True, cfg.DATASET.TRAIN_SET
+        out = os.path.join(root or "/tmp/fhpe_synth", image_set)
         n = size if is_train else max(size // 2, 1)
         return make_synthetic_db(
             out, n, cfg.MODEL.NUM_JOINTS,
