@@ -116,6 +116,20 @@ def main():
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
 
+    # Weights-only warm-start from an explicit checkpoint, mirroring the
+    # reference's student warm-start (tools/fpd_train.py:169-172); epoch
+    # and optimizer state start fresh (AUTO_RESUME below restores those
+    # when continuing the same run dir).
+    if cfg.TRAIN.CHECKPOINT and os.path.exists(cfg.TRAIN.CHECKPOINT):
+        from flax import serialization
+        from ..utils.checkpoint import load_model_weights
+        w = load_model_weights(cfg.TRAIN.CHECKPOINT)
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, w["params"]),
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, w["batch_stats"]))
+        logger.info(f"=> warm-started weights from {cfg.TRAIN.CHECKPOINT}")
+
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     best_perf = -1.0
     if cfg.AUTO_RESUME:

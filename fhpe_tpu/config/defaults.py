@@ -65,6 +65,12 @@ def _base() -> CfgNode:
     # Size to the decoded dataset (synthetic soak: 2048x256x256x3 = 400 MB;
     # full MPII does not fit - leave 0 there unless RAM allows ~70 GB).
     c.TPU.DECODE_CACHE_MB = 0
+    # Opt-in (hourglass): drop the conv biases that a downstream BatchNorm
+    # absorbs exactly (all but the score heads' in the pre-activation
+    # topology) — equivalent training dynamics, fewer bias-grad reduce
+    # passes in the backward.  Checkpoints taken under the knob are
+    # self-consistent but not interchangeable with the default tree.
+    c.TPU.DEAD_BIAS_SKIP = False
     # Opt-in: eval-mode HRNet branch chains run as single Pallas kernels
     # (ops/fused_block.py) instead of per-op XLA — activations stay in
     # VMEM across the 8 convs of a branch.  Eval-only (the kernel has no

@@ -28,29 +28,40 @@ from .common import BatchNorm, Conv, max_pool_2x2, upsample_nearest
 
 
 class Bottleneck(nn.Module):
-    """Pre-activation bottleneck, expansion 2, biased convs."""
+    """Pre-activation bottleneck, expansion 2, biased convs.
+
+    ``biased=False`` (TPU.DEAD_BIAS_SKIP) drops the conv biases: in this
+    pre-activation topology every one of them feeds a BatchNorm through
+    purely constant-commuting ops (residual adds, maxpool, nearest
+    upsample), so BN absorbs them exactly — their gradients are
+    identically zero and the outputs do not depend on them, in train or
+    eval mode.  Dropping them removes one reduce-sum HBM pass over dy per
+    conv from the backward (docs/BENCH_NOTES.md bias-grad finding).
+    """
 
     planes: int
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    biased: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
+        b = self.biased
         residual = x
         out = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         out = nn.relu(out)
-        out = Conv(self.planes, kernel=1, use_bias=True, dtype=self.dtype,
+        out = Conv(self.planes, kernel=1, use_bias=b, dtype=self.dtype,
                    name="conv1")(out)
         out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
-        out = Conv(self.planes, kernel=3, use_bias=True, dtype=self.dtype,
+        out = Conv(self.planes, kernel=3, use_bias=b, dtype=self.dtype,
                    name="conv2")(out)
         out = BatchNorm(dtype=self.dtype, name="bn3")(out, train)
         out = nn.relu(out)
-        out = Conv(self.planes * 2, kernel=1, use_bias=True, dtype=self.dtype,
+        out = Conv(self.planes * 2, kernel=1, use_bias=b, dtype=self.dtype,
                    name="conv3")(out)
         if self.downsample:
-            residual = Conv(self.planes * 2, kernel=1, use_bias=True,
+            residual = Conv(self.planes * 2, kernel=1, use_bias=b,
                             dtype=self.dtype, name="downsample")(x)
         return out + residual
 
@@ -62,14 +73,15 @@ class ResidualChain(nn.Module):
     num_blocks: int
     in_channels: int
     dtype: Any = jnp.bfloat16
+    biased: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
         down = self.in_channels != self.planes * 2
         x = Bottleneck(self.planes, downsample=down, dtype=self.dtype,
-                       name="block0")(x, train)
+                       biased=self.biased, name="block0")(x, train)
         for i in range(1, self.num_blocks):
-            x = Bottleneck(self.planes, dtype=self.dtype,
+            x = Bottleneck(self.planes, dtype=self.dtype, biased=self.biased,
                            name=f"block{i}")(x, train)
         return x
 
@@ -85,6 +97,7 @@ class HourglassModule(nn.Module):
     num_blocks: int
     depth: int = 4
     dtype: Any = jnp.bfloat16
+    biased: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -92,7 +105,8 @@ class HourglassModule(nn.Module):
 
         def res(name):
             return ResidualChain(self.planes, self.num_blocks, ch,
-                                 dtype=self.dtype, name=name)
+                                 dtype=self.dtype, biased=self.biased,
+                                 name=name)
 
         def level(n, x):
             up1 = res(f"up1_{n}")(x, train)
@@ -122,44 +136,54 @@ class HourglassNet(nn.Module):
     num_features: int = 256  # cfg MODEL.EXTRA.NUM_FEATURES (pre-halving)
     num_joints: int = 16
     dtype: Any = jnp.bfloat16
+    # TPU.DEAD_BIAS_SKIP: drop every conv bias except the score heads'.
+    # All of them are exactly absorbed by a downstream BatchNorm (see
+    # Bottleneck docstring) — training dynamics and outputs are equivalent;
+    # the backward loses one dy reduce-sum pass per conv.  Checkpoints are
+    # self-consistent under the knob but NOT interchangeable with the
+    # default (biased) variable tree — keep it fixed per run.
+    dead_bias_skip: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inplanes = self.num_features // 4
         feats = self.num_features // 2
         ch = feats * 2
+        b = not self.dead_bias_skip
 
         # Stem: 7x7/2 conv -> res -> maxpool -> res -> res (hourglass.py:170-179)
-        x = Conv(inplanes, kernel=7, stride=2, use_bias=True,
+        x = Conv(inplanes, kernel=7, stride=2, use_bias=b,
                  dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
-        x = ResidualChain(inplanes, 1, inplanes, dtype=self.dtype,
+        x = ResidualChain(inplanes, 1, inplanes, dtype=self.dtype, biased=b,
                           name="layer1")(x, train)
         x = max_pool_2x2(x)
         # layer2 planes = inplanes*2 (reference passes mutated self.inplanes)
         x = ResidualChain(inplanes * 2, 1, inplanes * 2, dtype=self.dtype,
-                          name="layer2")(x, train)
-        x = ResidualChain(feats, 1, inplanes * 4, dtype=self.dtype,
+                          biased=b, name="layer2")(x, train)
+        x = ResidualChain(feats, 1, inplanes * 4, dtype=self.dtype, biased=b,
                           name="layer3")(x, train)
 
         outs: List[jnp.ndarray] = []
         for i in range(self.num_stacks):
             y = HourglassModule(feats, self.num_blocks, dtype=self.dtype,
-                                name=f"hg{i}")(x, train)
+                                biased=b, name=f"hg{i}")(x, train)
             y = ResidualChain(feats, self.num_blocks, ch, dtype=self.dtype,
-                              name=f"res{i}")(y, train)
-            y = Conv(ch, kernel=1, use_bias=True, dtype=self.dtype,
+                              biased=b, name=f"res{i}")(y, train)
+            y = Conv(ch, kernel=1, use_bias=b, dtype=self.dtype,
                      name=f"fc{i}_conv")(y)
             y = BatchNorm(dtype=self.dtype, name=f"fc{i}_bn")(y, train)
             y = nn.relu(y)
+            # score heads keep their bias: the heatmap output has no BN
+            # after it, so these biases are live parameters.
             score = Conv(self.num_joints, kernel=1, use_bias=True,
                          dtype=self.dtype, name=f"score{i}")(y)
             outs.append(score.astype(jnp.float32))
             if i < self.num_stacks - 1:
-                fc_ = Conv(ch, kernel=1, use_bias=True, dtype=self.dtype,
+                fc_ = Conv(ch, kernel=1, use_bias=b, dtype=self.dtype,
                            name=f"fc_{i}")(y)
-                score_ = Conv(ch, kernel=1, use_bias=True, dtype=self.dtype,
+                score_ = Conv(ch, kernel=1, use_bias=b, dtype=self.dtype,
                               name=f"score_{i}")(score)
                 x = x + fc_ + score_
 
@@ -175,4 +199,5 @@ def get_pose_net(cfg, dtype=jnp.bfloat16) -> HourglassNet:
         num_features=extra.NUM_FEATURES,
         num_joints=cfg.MODEL.NUM_JOINTS,
         dtype=dtype,
+        dead_bias_skip=bool(cfg.TPU.get("DEAD_BIAS_SKIP", False)),
     )
