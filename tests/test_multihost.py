@@ -36,7 +36,12 @@ def test_two_process_training(tmp_path):
     repo = os.path.dirname(os.path.dirname(CHILD))
     env["PYTHONPATH"] = os.pathsep.join(
         [repo] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
-    port = 29541
+    # dynamic port: a fixed one collides with leftover children of an
+    # earlier run still holding the coordinator socket
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
 
     procs = [
         subprocess.Popen(
@@ -48,7 +53,9 @@ def test_two_process_training(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: the children compile a jitted SPMD step on one
+            # (often contended) CPU core; cache hits take ~2 min
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
