@@ -201,9 +201,12 @@ def main():
 
             is_best = perf >= best_perf
             best_perf = max(perf, best_perf)
-            save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
-            logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
-                        f"best {best_perf:.4f})")
+            ckpt_freq = max(1, int(cfg.TRAIN.get("CKPT_FREQ", 1)))
+            if ((epoch + 1) % (eval_freq * ckpt_freq) == 0
+                    or epoch + 1 == cfg.TRAIN.END_EPOCH):
+                save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+                logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
+                            f"best {best_perf:.4f})")
 
     if is_main_process():
         save_final_state(output_dir, state)

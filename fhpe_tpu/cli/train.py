@@ -177,9 +177,12 @@ def main():
 
             is_best = perf >= best_perf
             best_perf = max(perf, best_perf)
-            logger.info(f"=> saving checkpoint to {output_dir} "
-                        f"(perf {perf:.4f}, best {best_perf:.4f})")
-            save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+            ckpt_freq = max(1, int(cfg.TRAIN.get("CKPT_FREQ", 1)))
+            if ((epoch + 1) % (eval_freq * ckpt_freq) == 0
+                    or epoch + 1 == cfg.TRAIN.END_EPOCH):
+                logger.info(f"=> saving checkpoint to {output_dir} "
+                            f"(perf {perf:.4f}, best {best_perf:.4f})")
+                save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
 
     if is_main_process():
         save_final_state(output_dir, state)

@@ -139,6 +139,12 @@ def _base() -> CfgNode:
     # their wall-clock on per-epoch validation otherwise; checkpoints are
     # written on eval epochs (and always on the final epoch).
     c.TRAIN.EVAL_FREQ = 1
+    # Checkpoint every N-th eval epoch (1 = reference behavior: every
+    # eval).  The checkpoint's device->host state snapshot is expensive on
+    # remote-attached TPUs (~75 s through this box's relay for a 3.3M-param
+    # state); soaks with tiny epochs can spend most wall-clock there.
+    # >1 trades best-model granularity for speed (final epoch always saved).
+    c.TRAIN.CKPT_FREQ = 1
 
     c.TEST = CfgNode()
     c.TEST.BATCH_SIZE_PER_GPU = 32

@@ -24,7 +24,7 @@ STUDENT_OVERRIDES=(
   DATASET.DATASET synthetic DATASET.ROOT /tmp/fhpe_fpd_ab
   DATASET.SYNTH_SIZE 256
   TRAIN.BATCH_SIZE_PER_GPU 64 TRAIN.LR 2.5e-4 TRAIN.LR_STEP 90,120
-  TRAIN.END_EPOCH 150 TRAIN.EVAL_FREQ 5
+  TRAIN.END_EPOCH 150 TRAIN.EVAL_FREQ 5 TRAIN.CKPT_FREQ 3
   TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False
   TPU.DECODE_CACHE_MB 2048
   LOG_DIR log/fpd_ab DEBUG.DEBUG False PRINT_FREQ 100
@@ -37,7 +37,7 @@ case "$PHASE" in
       DATASET.DATASET synthetic DATASET.ROOT /tmp/fhpe_fpd_ab_teacher \
       DATASET.SYNTH_SIZE 2048 \
       TRAIN.BATCH_SIZE_PER_GPU 64 TRAIN.LR 2.5e-4 TRAIN.LR_STEP 40,55 \
-      TRAIN.END_EPOCH 65 TRAIN.EVAL_FREQ 5 \
+      TRAIN.END_EPOCH 65 TRAIN.EVAL_FREQ 5 TRAIN.CKPT_FREQ 2 \
       TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False \
       TPU.DECODE_CACHE_MB 2048 \
       OUTPUT_DIR output/fpd_ab LOG_DIR log/fpd_ab \

@@ -12,7 +12,7 @@ exec python -m fhpe_tpu.cli.train \
   DATASET.DATASET synthetic DATASET.ROOT /tmp/fhpe_soak \
   DATASET.SYNTH_SIZE 2048 \
   TRAIN.BATCH_SIZE_PER_GPU 64 TRAIN.LR 2.5e-4 TRAIN.LR_STEP 90,110 \
-  TRAIN.END_EPOCH 130 TRAIN.EVAL_FREQ 2 \
+  TRAIN.END_EPOCH 130 TRAIN.EVAL_FREQ 2 TRAIN.CKPT_FREQ 5 \
   TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False \
   TPU.DECODE_CACHE_MB 2048 \
   OUTPUT_DIR output/soak LOG_DIR log/soak \
