@@ -69,6 +69,14 @@ def main() -> None:
 
     scfg = _hg_cfg(stacks=4, feats=128)   # student (the trained model)
     scfg.KD.ALPHA = 0.5
+    # Exactly-equivalent training config: the pre-activation hourglass's
+    # non-head conv biases have analytically zero gradient (each is
+    # absorbed by a downstream BatchNorm), so they stay at their zero
+    # init forever; dropping them deletes one dy reduce-sum HBM pass per
+    # conv from the backward.  Equivalence pinned by tests/test_dead_bias.py;
+    # measured +3.0% on v5e (723.06 -> 744.61 img/s/chip,
+    # scripts/probe/dead_bias_ab.py, docs/BENCH_NOTES.md round 3).
+    scfg.TPU.DEAD_BIAS_SKIP = True
     tcfg = _hg_cfg(stacks=8, feats=256)   # teacher (eval-mode forward)
 
     n_chips = len(jax.devices())

@@ -20,7 +20,8 @@ stage() {
   echo "=== [$(date +%H:%M:%S)] stage $name done rc=$rc ==="
 }
 
-stage dead_bias 3600 python scripts/probe/dead_bias_ab.py
+stage dead_bias 3600 env PYTHONPATH=/root/.axon_site:/root/repo \
+  python scripts/probe/dead_bias_ab.py
 stage teacher  10800 scripts/soak/fpd_ab.sh teacher
 stage plain     7200 scripts/soak/fpd_ab.sh plain
 stage kd        9000 scripts/soak/fpd_ab.sh kd
