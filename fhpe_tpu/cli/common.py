@@ -164,9 +164,13 @@ def device_batch(cfg, batch, mesh, for_eval=False):
 
 
 def validate(cfg, model, variables, val_loader, mesh, meta, logger,
-             multi_output: bool, evaluate_fn=None, output_dir: str = ""):
+             multi_output: bool, evaluate_fn=None, output_dir: str = "",
+             writer=None, global_step: int = 0):
     """Full validation pass (reference function.py:189-332).
 
+    With ``writer`` set, mirrors the reference's TB surface (valid_loss /
+    valid_acc scalars + the name_values dict, function.py:304-330) and
+    additionally logs the DEBUG-gated image grids as TB images.
     Returns (perf_indicator, name_values, all_preds, all_boxes, img_paths).
     """
     perm = flip_pair_permutation(meta["num_joints"], meta["flip_pairs"])
@@ -227,12 +231,18 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
             if debug:
                 # reference function.py:286-289: val-batch image dumps
                 import os
-                from ..utils.vis import save_debug_images
+                from ..utils.vis import save_debug_images, tb_log_images
                 save_debug_images(
                     cfg, batch["image"], batch["joints"],
                     batch["joints_vis"][..., None],
                     np.asarray(out["target"]), np.asarray(out["output"]),
                     os.path.join(output_dir, f"val_{i}"))
+                if i == 0:
+                    tb_log_images(
+                        writer, "valid", cfg, batch["image"],
+                        batch["joints"], batch["joints_vis"][..., None],
+                        np.asarray(out["target"]),
+                        np.asarray(out["output"]), global_step)
 
     has = valids_total > 0
     overall_acc = (float((hits_total[has] / valids_total[has]).mean())
@@ -242,6 +252,10 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
             f"Test: loss {losses.avg:.4f}  acc {accs.avg:.3f}  "
             f"(overall PCK {overall_acc:.3f}, "
             f"{num_samples / max(time.time() - t0, 1e-9):.1f} samples/s)")
+    if writer is not None:
+        # reference function.py:304-316
+        writer.add_scalar("valid_loss", losses.avg, global_step)
+        writer.add_scalar("valid_acc", accs.avg, global_step)
 
     if evaluate_fn is None:
         return overall_acc, {}, all_preds, all_boxes, img_paths
@@ -254,6 +268,12 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
                 print_name_value(logger, nv, cfg.MODEL.NAME)
         else:
             print_name_value(logger, name_values, cfg.MODEL.NAME)
+    if writer is not None:
+        # reference function.py:317-329
+        nvs = name_values if isinstance(name_values, list) else [name_values]
+        for nv in nvs:
+            writer.add_scalars("valid", {k: float(v) for k, v in dict(nv).items()},
+                               global_step)
     return perf, name_values, all_preds, all_boxes, img_paths
 
 

@@ -195,7 +195,7 @@ def main():
             perf, *_ = validate(cfg, student, eval_vars, val_loader,
                                 eval_mesh, meta, logger,
                                 is_multi_output(student), evaluate_fn,
-                                output_dir)
+                                output_dir, writer=writer, global_step=epoch)
             if writer is not None:
                 writer.add_scalar("valid_perf", float(perf), epoch)
 

@@ -171,7 +171,8 @@ def main():
         if run_eval:
             perf, name_values, *_ = validate(
                 cfg, model, eval_vars, val_loader, eval_mesh, meta, logger,
-                is_multi_output(model), evaluate_fn, output_dir)
+                is_multi_output(model), evaluate_fn, output_dir,
+                writer=writer, global_step=epoch)
             if writer is not None:
                 writer.add_scalar("valid_perf", float(perf), epoch)
 

@@ -24,9 +24,9 @@ def _denormalize(images: np.ndarray) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def save_batch_image_with_joints(batch_image, batch_joints, batch_joints_vis,
-                                 file_name, nrow=8, padding=2):
-    """Grid of images with green joint dots (vis.py:20-51)."""
+def joints_grid(batch_image, batch_joints, batch_joints_vis,
+                nrow=8, padding=2) -> np.ndarray:
+    """Grid of images with green joint dots (vis.py:20-51); BGR HWC uint8."""
     import cv2
 
     images = _denormalize(np.asarray(batch_image))
@@ -47,12 +47,21 @@ def save_batch_image_with_joints(batch_image, batch_joints, batch_joints_vis,
             ys, xs = y * (h + padding), x * (w + padding)
             grid[ys:ys + h, xs:xs + w] = img
             k += 1
-    cv2.imwrite(file_name, grid)
+    return grid
 
 
-def save_batch_heatmaps(batch_image, batch_heatmaps, file_name,
-                        normalize=True):
-    """Per-sample row: resized image + per-joint JET heatmaps (vis.py:54-116)."""
+def save_batch_image_with_joints(batch_image, batch_joints, batch_joints_vis,
+                                 file_name, nrow=8, padding=2):
+    import cv2
+
+    cv2.imwrite(file_name,
+                joints_grid(batch_image, batch_joints, batch_joints_vis,
+                            nrow, padding))
+
+
+def heatmaps_grid(batch_image, batch_heatmaps) -> np.ndarray:
+    """Per-sample row: resized image + per-joint JET heatmaps (vis.py:54-116);
+    BGR HWC uint8."""
     import cv2
 
     images = _denormalize(np.asarray(batch_image))
@@ -75,7 +84,39 @@ def save_batch_heatmaps(batch_image, batch_heatmaps, file_name,
                        1, [0, 0, 255], 1)
             xs = (ji + 1) * hw
             grid[row0:row0 + hh, xs:xs + hw] = masked
-    cv2.imwrite(file_name, grid)
+    return grid
+
+
+def save_batch_heatmaps(batch_image, batch_heatmaps, file_name,
+                        normalize=True):
+    import cv2
+
+    cv2.imwrite(file_name, heatmaps_grid(batch_image, batch_heatmaps))
+
+
+def tb_log_images(writer, tag_prefix, cfg, batch_image, batch_joints,
+                  batch_joints_vis, batch_target, batch_output, step):
+    """TensorBoard image summaries of the debug grids (beyond the
+    reference, which writes scalars only — function.py:88-91,304-330 —
+    and dumps grids to disk; here the same DEBUG.*-gated grids also land
+    in TB as HWC RGB images)."""
+    if writer is None or not cfg.DEBUG.DEBUG:
+        return
+    try:
+        if cfg.DEBUG.SAVE_BATCH_IMAGES_GT:
+            g = joints_grid(batch_image, batch_joints, batch_joints_vis)
+            writer.add_image(f"{tag_prefix}_gt", g[..., ::-1], step,
+                             dataformats="HWC")
+        if cfg.DEBUG.SAVE_HEATMAPS_PRED:
+            g = heatmaps_grid(batch_image, batch_output)
+            writer.add_image(f"{tag_prefix}_hm_pred", g[..., ::-1], step,
+                             dataformats="HWC")
+        if cfg.DEBUG.SAVE_HEATMAPS_GT:
+            g = heatmaps_grid(batch_image, batch_target)
+            writer.add_image(f"{tag_prefix}_hm_gt", g[..., ::-1], step,
+                             dataformats="HWC")
+    except Exception:  # TB image encoding must never kill a run
+        pass
 
 
 def save_debug_images(cfg, batch_image, batch_joints, batch_joints_vis,
