@@ -1,0 +1,67 @@
+"""Summarize the FPD efficacy A/B (scripts/soak/fpd_ab.sh) from run logs.
+
+Prints a markdown table of val PCK over epochs for the plain student vs
+the KD student (same seed / steps / data), plus teacher context.
+
+Usage: python scripts/soak/fpd_ab_summary.py
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+
+
+def newest_log(pattern: str) -> str | None:
+    runs = sorted(glob.glob(os.path.join(ROOT, pattern)),
+                  key=os.path.getmtime)
+    return runs[-1] if runs else None
+
+
+def pck_series(log_path: str) -> list[float]:
+    out = []
+    with open(log_path) as f:
+        for line in f:
+            m = re.search(r"overall PCK ([0-9.]+)", line)
+            if m:
+                out.append(float(m.group(1)))
+    return out
+
+
+def main() -> None:
+    runs = {
+        "teacher": "output/fpd_ab/synthetic/hourglass/*/running.log",
+        "plain": "output/fpd_ab_plain/synthetic/hourglass/*/running.log",
+        "kd": "output/fpd_ab_kd/synthetic/hourglass/*/running.log",
+    }
+    series = {}
+    for name, pat in runs.items():
+        log = newest_log(pat)
+        if not log:
+            print(f"({name}: no run found for {pat})")
+            continue
+        series[name] = (log, pck_series(log))
+
+    for name, (log, s) in series.items():
+        tail = " ".join(f"{v:.3f}" for v in s[-8:])
+        best = max(s) if s else float("nan")
+        print(f"{name:8s} best {best:.4f}  last8: {tail}   ({log})")
+
+    if "plain" in series and "kd" in series:
+        pb = max(series["plain"][1]) if series["plain"][1] else 0.0
+        kb = max(series["kd"][1]) if series["kd"][1] else 0.0
+        pf = series["plain"][1][-1] if series["plain"][1] else 0.0
+        kf = series["kd"][1][-1] if series["kd"][1] else 0.0
+        print()
+        print("| student | best val PCK | final val PCK |")
+        print("|---|---|---|")
+        print(f"| plain (GT only) | {pb:.4f} | {pf:.4f} |")
+        print(f"| + FPD distillation | {kb:.4f} | {kf:.4f} |")
+        print(f"\nKD delta: best {kb - pb:+.4f}, final {kf - pf:+.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,7 @@ def _parse(out: str) -> dict:
     return kv
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _launch_children(tmp_path, attempt):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -43,9 +42,11 @@ def test_two_process_training(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    work = os.path.join(str(tmp_path), f"attempt{attempt}")
+    os.makedirs(work, exist_ok=True)
     procs = [
         subprocess.Popen(
-            [sys.executable, CHILD, str(pid), str(port), str(tmp_path)],
+            [sys.executable, CHILD, str(pid), str(port), work],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=os.path.dirname(os.path.dirname(CHILD)))
         for pid in (0, 1)
@@ -61,6 +62,21 @@ def test_two_process_training(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    # gloo's context init has a fixed 30s KV deadline; on a saturated
+    # 1-core box the second process can miss it (DEADLINE_EXCEEDED).
+    # That's box contention, not product state — retry once.
+    for attempt in (0, 1):
+        procs, outs = _launch_children(tmp_path, attempt)
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any("DEADLINE_EXCEEDED" in o for o in outs)
+        if not transient or attempt == 1:
+            break
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
