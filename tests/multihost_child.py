@@ -125,6 +125,13 @@ def main():
     rsum = float(sum(jnp.abs(l.astype(jnp.float64)).sum()
                      for l in jax.tree_util.tree_leaves(restored.params)))
     say("resume_params_sum", f"{rsum:.8f}")
+
+    # On a saturated 1-core box the processes can drift minutes apart in
+    # the local (collective-free) sections; align them here so both reach
+    # the atexit jax.distributed.shutdown barrier together (its ~5 min
+    # deadline is otherwise exceeded by whichever process lags).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mh-child-done")
     say("done", "ok")
 
 
