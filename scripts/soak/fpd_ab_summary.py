@@ -22,13 +22,23 @@ def newest_log(pattern: str) -> str | None:
 
 
 def pck_series(log_path: str) -> list[float]:
+    """Per-epoch student val PCK from a run log.
+
+    fpd_train logs two pre-train validations (teacher, then untrained
+    student: "=> teacher perf" / "=> student perf") before epoch 0;
+    both are dropped so only the trained student's series remains.
+    """
     out = []
+    pretrain_drop = 0
     with open(log_path) as f:
         for line in f:
+            if "=> teacher perf" in line or "=> student perf" in line:
+                pretrain_drop += 1
+                continue
             m = re.search(r"overall PCK ([0-9.]+)", line)
             if m:
                 out.append(float(m.group(1)))
-    return out
+    return out[pretrain_drop:]
 
 
 def main() -> None:
