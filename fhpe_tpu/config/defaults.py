@@ -76,6 +76,16 @@ def _base() -> CfgNode:
     # VMEM across the 8 convs of a branch.  Eval-only (the kernel has no
     # VJP); training always uses the unfused path.
     c.TPU.FUSED_EVAL = False
+    # Opt-in: native C++ host image path (ops/cpp/imagedec.cpp via
+    # ops/native_image.py).  NATIVE_DECODE decodes JPEGs with libjpeg
+    # directly (bit-identical to cv2.imread, no Python/cv2 overhead);
+    # NATIVE_WARP runs the affine crop in C++ (cv2-5 warpAffine float-
+    # engine parity; ±1 at exact rounding ties, ~1 per million pixels)
+    # and reads flipped samples through a mirrored-tap mode instead of
+    # materializing img[:, ::-1] copies.  Both fall back to cv2 when the
+    # library cannot be built.
+    c.TPU.NATIVE_DECODE = False
+    c.TPU.NATIVE_WARP = False
 
     c.MODEL = CfgNode()
     c.MODEL.NAME = "pose_hrnet"

@@ -31,7 +31,16 @@ from ..geometry.flip import fliplr_joints
 from ..geometry.targets import generate_target_np
 
 
-def _read_image(path: str, color_rgb: bool):
+def _read_image(path: str, color_rgb: bool, native: bool = False):
+    if native and ".zip@" not in path:
+        from ..ops import native_image
+        # direct-to-RGB decode when COLOR_RGB (identical values to cv2's
+        # BGR decode + cvtColor; libjpeg converts once either way)
+        img = native_image.imread_native(path, bgr=not color_rgb)
+        if img is not None:
+            return img
+        # non-JPEG / decode error: fall through to cv2
+
     import cv2
 
     if "@" in path and ".zip@" in path:
@@ -110,6 +119,18 @@ class PoseDataSource:
         self.use_diff_weight = cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT
         self.device_warp = bool(cfg.TPU.get("DEVICE_WARP", False))
         self.canvas_size = tuple(cfg.TPU.get("CANVAS_SIZE", [512, 512]))
+        # Native C++ host image path (ops/native_image.py): resolved once
+        # here so the per-sample path never falls back mid-epoch.
+        self.native_decode = bool(cfg.TPU.get("NATIVE_DECODE", False))
+        self.native_warp = bool(cfg.TPU.get("NATIVE_WARP", False))
+        if self.native_decode or self.native_warp:
+            from ..ops import native_image
+            if not native_image.available():
+                import logging
+                logging.getLogger(__name__).warning(
+                    "TPU.NATIVE_DECODE/NATIVE_WARP requested but "
+                    "libfhpe_image.so is unavailable; using cv2")
+                self.native_decode = self.native_warp = False
         self.rng = np.random.RandomState(seed)
         self.pyrng = pyrandom.Random(seed)
         # Decoded-image RAM cache (TPU.DECODE_CACHE_MB): JPEG decode is the
@@ -133,11 +154,11 @@ class PoseDataSource:
 
     def _read_cached(self, path: str) -> np.ndarray:
         if self._cache_budget <= 0:
-            return _read_image(path, self.color_rgb)
+            return _read_image(path, self.color_rgb, self.native_decode)
         img = self._img_cache.get(path)
         if img is not None:
             return img
-        img = _read_image(path, self.color_rgb)
+        img = _read_image(path, self.color_rgb, self.native_decode)
         self._cache_put(path, img)
         return img
 
@@ -213,7 +234,10 @@ class PoseDataSource:
             c, s, r = params["c"].copy(), params["s"].copy(), params["r"]
             flipped = params["flipped"]
             if flipped:
-                if not self.device_warp:
+                # native warp reads mirrored taps in-place; device warp
+                # folds the mirror into the matrix — only the cv2 host
+                # warp needs the materialized flipped copy
+                if not self.device_warp and not self.native_warp:
                     img = self._flipped(rec["image"], img)
                 joints, joints_vis = fliplr_joints(
                     joints, joints_vis, img.shape[1], self.flip_pairs)
@@ -254,6 +278,13 @@ class PoseDataSource:
             warp_inv[1, 2] += 0.5 * fy - 0.5
             image_field = {"canvas": canvas,
                            "warp_inv": warp_inv.astype(np.float32)}
+        elif self.native_warp:
+            from ..ops import native_image
+            warped = native_image.warp_affine_native(
+                img, trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
+                flip_src=self.is_train and flipped)
+            image_field = {"image": warped}  # uint8, already contiguous
         else:
             warped = cv2.warpAffine(
                 img, trans,
