@@ -65,10 +65,12 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
     train_loader = None
     if train:
         import jax
+        seed = int(cfg.TRAIN.get("SEED", 0))
         src = PoseDataSource(cfg, db_train, is_train=True,
                              flip_pairs=meta["flip_pairs"],
                              upper_body_ids=meta["upper_body_ids"],
-                             joints_weight=meta["joints_weight"])
+                             joints_weight=meta["joints_weight"],
+                             seed=seed)
         # batch_size is GLOBAL; under multi-host each process yields its
         # own slice of every global batch (loader process sharding).
         train_loader = BatchLoader(
@@ -76,6 +78,7 @@ def build_loaders(cfg, n_devices: int, synthetic_dir: str | None = None,
             shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
             host_targets=not cfg.TPU.DEVICE_PREPROCESS,
             num_threads=max(2, cfg.WORKERS),
+            seed=seed,
             process_index=jax.process_index(),
             process_count=jax.process_count())
 

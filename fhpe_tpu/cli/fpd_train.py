@@ -109,7 +109,7 @@ def main():
 
     train_loader, val_loader, meta = build_loaders(cfg, n_dev)
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(int(cfg.TRAIN.get("SEED", 0)))
     sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0], 3))
     state = create_train_state(cfg, student, rng, sample)
 

@@ -144,6 +144,11 @@ def _base() -> CfgNode:
     c.TRAIN.CHECKPOINT = ""
     c.TRAIN.BATCH_SIZE_PER_GPU = 32
     c.TRAIN.SHUFFLE = True
+    # TPU-build extension: master seed for init RNG, augmentation draws,
+    # and the shuffle stream (the reference has no seed control; its runs
+    # are CUDA-nondeterministic).  Runs with equal SEED are bit-reproducible
+    # end-to-end; vary it for independent replicas (e.g. A/B repeats).
+    c.TRAIN.SEED = 0
     # TPU-build extension: validate every N epochs (1 = reference
     # behavior).  Long synthetic soaks with tiny epochs waste most of
     # their wall-clock on per-epoch validation otherwise; checkpoints are

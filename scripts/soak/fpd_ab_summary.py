@@ -46,6 +46,9 @@ def main() -> None:
         "teacher": "output/fpd_ab/synthetic/hourglass/*/running.log",
         "plain": "output/fpd_ab_plain/synthetic/hourglass/*/running.log",
         "kd": "output/fpd_ab_kd/synthetic/hourglass/*/running.log",
+        # second-seed replica (r3_queue2.sh, TRAIN.SEED 1)
+        "plain_s1": "output/fpd_ab_plain_s1/synthetic/hourglass/*/running.log",
+        "kd_s1": "output/fpd_ab_kd_s1/synthetic/hourglass/*/running.log",
     }
     series = {}
     for name, pat in runs.items():
@@ -60,17 +63,21 @@ def main() -> None:
         best = max(s) if s else float("nan")
         print(f"{name:8s} best {best:.4f}  last8: {tail}   ({log})")
 
-    if "plain" in series and "kd" in series:
-        pb = max(series["plain"][1]) if series["plain"][1] else 0.0
-        kb = max(series["kd"][1]) if series["kd"][1] else 0.0
-        pf = series["plain"][1][-1] if series["plain"][1] else 0.0
-        kf = series["kd"][1][-1] if series["kd"][1] else 0.0
+    for suffix, label in [("", "seed 0"), ("_s1", "seed 1")]:
+        pk, kk = "plain" + suffix, "kd" + suffix
+        if pk not in series or kk not in series:
+            continue
+        pb = max(series[pk][1]) if series[pk][1] else 0.0
+        kb = max(series[kk][1]) if series[kk][1] else 0.0
+        pf = series[pk][1][-1] if series[pk][1] else 0.0
+        kf = series[kk][1][-1] if series[kk][1] else 0.0
         print()
-        print("| student | best val PCK | final val PCK |")
+        print(f"| student ({label}) | best val PCK | final val PCK |")
         print("|---|---|---|")
         print(f"| plain (GT only) | {pb:.4f} | {pf:.4f} |")
         print(f"| + FPD distillation | {kb:.4f} | {kf:.4f} |")
-        print(f"\nKD delta: best {kb - pb:+.4f}, final {kf - pf:+.4f}")
+        print(f"\nKD delta ({label}): best {kb - pb:+.4f}, "
+              f"final {kf - pf:+.4f}")
 
 
 if __name__ == "__main__":
