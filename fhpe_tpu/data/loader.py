@@ -32,11 +32,21 @@ from ..geometry.targets import generate_target_np
 
 
 def _read_image(path: str, color_rgb: bool, native: bool = False):
-    if native and ".zip@" not in path:
+    if native:
         from ..ops import native_image
         # direct-to-RGB decode when COLOR_RGB (identical values to cv2's
         # BGR decode + cvtColor; libjpeg converts once either way)
-        img = native_image.imread_native(path, bgr=not color_rgb)
+        if ".zip@" in path:
+            img = None
+            if path.lower().endswith((".jpg", ".jpeg")):
+                from ..utils.zipreader import read_bytes
+                try:
+                    img = native_image.decode_jpeg_bytes(
+                        read_bytes(path), bgr=not color_rgb)
+                except (OSError, KeyError):
+                    img = None
+        else:
+            img = native_image.imread_native(path, bgr=not color_rgb)
         if img is not None:
             return img
         # non-JPEG / decode error: fall through to cv2

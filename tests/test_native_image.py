@@ -147,6 +147,25 @@ def test_flip_src_bit_equals_materialized_flip():
         np.testing.assert_array_equal(ref, got)  # exact: same fractions
 
 
+def test_read_image_zip_member_native(tmp_path):
+    import zipfile
+    from fhpe_tpu.data.loader import _read_image
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (50, 70, 3), np.uint8)
+    jpg = cv2.imencode(".jpg", img)[1].tobytes()
+    zpath = tmp_path / "imgs.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("sub/a.jpg", jpg)
+    path = f"{zpath}@/sub/a.jpg"
+    ref = _read_image(path, color_rgb=False, native=False)
+    got = _read_image(path, color_rgb=False, native=True)
+    np.testing.assert_array_equal(ref, got)
+    ref_rgb = _read_image(path, color_rgb=True, native=False)
+    got_rgb = _read_image(path, color_rgb=True, native=True)
+    np.testing.assert_array_equal(ref_rgb, got_rgb)
+
+
 # -------------------------------------------------- loader integration ---
 
 def test_loader_native_path_matches_cv2_path(tmp_path):
