@@ -52,3 +52,67 @@ def make_synthetic_db(out_dir: str, num_samples: int = 16,
             "imgnum": 0,
         })
     return db
+
+
+def make_synthetic_coco(root: str, image_set: str = "synval2017",
+                        num_images: int = 64,
+                        image_hw: Tuple[int, int] = (256, 256),
+                        seed: int = 0) -> str:
+    """Write a COCO-FORMAT synthetic dataset (images + annotation JSON).
+
+    Unlike :func:`make_synthetic_db` (which returns db records directly),
+    this produces the on-disk layout the real COCO pipeline consumes —
+    ``<root>/images/<set>/%012d.jpg`` + ``<root>/annotations/
+    person_keypoints_<set>.json`` (reference path conventions,
+    lib/dataset/coco.py:244-257,434-442) — so training + evaluation run
+    the full stack: ``build_gt_db`` -> augment/warp -> train -> decode ->
+    rescoring -> OKS-NMS -> results JSON -> ``CocoKeypointEval`` AP.
+    One disk-marked 17-keypoint person per image.  Returns the annotation
+    file path.  NOTE: ``image_set`` must not contain "test" ("test" sets
+    switch the loaders to image_info annotations).
+    """
+    import cv2
+    import json
+
+    assert "test" not in image_set
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images", image_set)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    h, w = image_hw
+
+    images, annotations = [], []
+    for i in range(num_images):
+        img_id = i + 1
+        img = rng.randint(0, 40, size=(h, w, 3), dtype=np.uint8)
+        # person region: a generous box away from the borders
+        margin = min(40, h // 4, w // 4)
+        kps = []
+        xs, ys = [], []
+        for j in range(17):
+            x = int(rng.randint(margin, w - margin))
+            y = int(rng.randint(margin, h - margin))
+            color = (int(80 + 10 * j), int(255 - 10 * j), 200)
+            cv2.circle(img, (x, y), 6, color, -1)
+            kps += [x, y, 2]           # v=2: labeled and visible
+            xs.append(x)
+            ys.append(y)
+        cv2.imwrite(os.path.join(img_dir, "%012d.jpg" % img_id), img)
+        images.append({"id": img_id, "width": w, "height": h,
+                       "file_name": "%012d.jpg" % img_id})
+        bx, by = max(0, min(xs) - 12), max(0, min(ys) - 12)
+        bw = min(w - 1, max(xs) + 12) - bx
+        bh = min(h - 1, max(ys) + 12) - by
+        annotations.append({
+            "id": img_id, "image_id": img_id, "category_id": 1,
+            "bbox": [float(bx), float(by), float(bw), float(bh)],
+            "area": float(bw * bh), "iscrowd": 0,
+            "keypoints": kps, "num_keypoints": 17,
+        })
+
+    ann_file = os.path.join(ann_dir, f"person_keypoints_{image_set}.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    return ann_file
