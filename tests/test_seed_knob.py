@@ -49,7 +49,6 @@ def test_different_seed_changes_stream(db):
 
 
 def test_seed_reaches_init_rng():
-    import jax
     from fhpe_tpu.cli import train as train_cli
     src = open(train_cli.__file__).read()
     assert 'PRNGKey(int(cfg.TRAIN.get("SEED", 0)))' in src
