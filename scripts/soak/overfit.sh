@@ -22,7 +22,7 @@ COMMON=(
   TRAIN.BATCH_SIZE_PER_GPU 64 TRAIN.EVAL_FREQ 10
   TRAIN.END_EPOCH 300 TRAIN.LR_STEP 200,250
   TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False
-  TPU.DECODE_CACHE_MB 1024
+  TPU.DECODE_CACHE_MB 1024 TPU.NATIVE_DECODE True
   OUTPUT_DIR output/overfit LOG_DIR log/overfit
   DEBUG.DEBUG False PRINT_FREQ 100
 )

@@ -14,6 +14,6 @@ exec python -m fhpe_tpu.cli.train \
   TRAIN.BATCH_SIZE_PER_GPU 64 TRAIN.LR 2.5e-4 TRAIN.LR_STEP 90,110 \
   TRAIN.END_EPOCH 130 TRAIN.EVAL_FREQ 2 TRAIN.CKPT_FREQ 5 \
   TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False \
-  TPU.DECODE_CACHE_MB 2048 \
+  TPU.DECODE_CACHE_MB 2048 TPU.NATIVE_DECODE True \
   OUTPUT_DIR output/soak LOG_DIR log/soak \
   DEBUG.DEBUG False PRINT_FREQ 16 "$@"
