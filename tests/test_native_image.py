@@ -203,3 +203,39 @@ def test_loader_native_path_matches_cv2_path(tmp_path):
                                               np.asarray(b[k]))
         flips += bool(a["flipped"])
     assert flips >= 1  # the flip-elision path was actually exercised
+
+
+def test_batchloader_native_threads(tmp_path):
+    """ctypes calls release the GIL — run the native path through the
+    threaded BatchLoader and pin batches against the cv2 path."""
+    from fhpe_tpu.config import get_default_config
+    from fhpe_tpu.data import dataset_meta, make_synthetic_db
+    from fhpe_tpu.data.loader import BatchLoader, PoseDataSource
+
+    db = make_synthetic_db(str(tmp_path / "db"), 12, 16, (120, 160))
+    meta = dataset_meta("mpii")
+
+    def epoch(native):
+        cfg = get_default_config()
+        cfg.MODEL.NUM_JOINTS = 16
+        cfg.MODEL.IMAGE_SIZE = [64, 64]
+        cfg.MODEL.HEATMAP_SIZE = [16, 16]
+        cfg.TPU.NATIVE_DECODE = native
+        cfg.TPU.NATIVE_WARP = native
+        src = PoseDataSource(cfg, db, is_train=True,
+                             flip_pairs=meta["flip_pairs"],
+                             upper_body_ids=meta["upper_body_ids"], seed=7)
+        loader = BatchLoader(src, batch_size=4, shuffle=True,
+                             drop_last=True, host_targets=True,
+                             num_threads=4, seed=7)
+        return list(loader)
+
+    for a, b in zip(epoch(False), epoch(True)):
+        for k in a:
+            if k == "image":
+                _warp_close(a[k], b[k], tie_budget=8)
+            elif k == "image_path":
+                assert a[k] == b[k]
+            else:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]))
