@@ -24,6 +24,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
 exec python -m fhpe_tpu.cli.train \
   --cfg experiments/coco/hourglass/hg4_256x192_d256x3_adam_lr2.5e-4.yaml \
   DATASET.ROOT "$ROOT" DATASET.TRAIN_SET "$SET" DATASET.TEST_SET "$SET" \
+  DATASET.CACHE_ROOT "" \
   DATASET.SCALE_FACTOR 0.0 DATASET.ROT_FACTOR 0 DATASET.FLIP False \
   DATASET.PROB_HALF_BODY 0.0 DATASET.SELECT_DATA False \
   TEST.USE_GT_BBOX True TEST.FLIP_TEST False \
