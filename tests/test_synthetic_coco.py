@@ -34,6 +34,8 @@ def _cfg(root):
     cfg.DATASET.ROOT = root
     cfg.DATASET.TEST_SET = IMAGE_SET
     cfg.DATASET.TRAIN_SET = IMAGE_SET
+    cfg.DATASET.CACHE_ROOT = ""   # default data/cache would pin the FIRST
+    # tmp db forever (stale image paths on every later run)
     cfg.MODEL.NAME = "hourglass"
     cfg.MODEL.NUM_JOINTS = 17
     cfg.MODEL.IMAGE_SIZE = [192, 256]
