@@ -168,7 +168,7 @@ def device_batch(cfg, batch, mesh, for_eval=False):
 
 def validate(cfg, model, variables, val_loader, mesh, meta, logger,
              multi_output: bool, evaluate_fn=None, output_dir: str = "",
-             writer=None, global_step: int = 0):
+             writer=None, global_step: int = 0, watchdog=None):
     """Full validation pass (reference function.py:189-332).
 
     With ``writer`` set, mirrors the reference's TB surface (valid_loss /
@@ -224,6 +224,8 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
         batch_acc = float((hits[has] / valids[has]).mean()) if has.any() else 0.0
         accs.update(batch_acc, max(int(has.sum()), 1))
         idx += n
+        if watchdog is not None:
+            watchdog.beat()
 
         if i % cfg.PRINT_FREQ == 0:
             if logger:
@@ -263,8 +265,15 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
     if evaluate_fn is None:
         return overall_acc, {}, all_preds, all_boxes, img_paths
 
+    # Dataset evaluation is host-only (PCKh / OKS-NMS / COCO AP) and can
+    # legitimately run long on real annotation sets: suspend the stall
+    # watchdog across it, re-arm once back on the device path.
+    if watchdog is not None:
+        watchdog.disarm()
     name_values, perf = evaluate_fn(cfg, all_preds, output_dir, all_boxes,
                                     img_paths)
+    if watchdog is not None:
+        watchdog.beat()
     if logger:
         if isinstance(name_values, list):
             for nv in name_values:

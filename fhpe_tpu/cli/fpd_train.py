@@ -33,7 +33,8 @@ from ..utils.logger import WindowedMeters
 
 
 def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
-                        logger, writer=None, global_step=0, output_dir=""):
+                        logger, writer=None, global_step=0, output_dir="",
+                        watchdog=None):
     from ..parallel.mesh import prefetch_to_device
     from .common import train_batch_keys
 
@@ -68,6 +69,8 @@ def fpd_train_one_epoch(cfg, loader, step_fn, state, tvars, mesh, epoch,
                                   batch["joints_vis"][..., None],
                                   np.asarray(metrics["target"]),
                                   np.asarray(metrics["output"]), prefix)
+        if watchdog is not None:
+            watchdog.beat()
         global_step += 1
     return state, global_step
 
@@ -162,6 +165,15 @@ def main():
     except Exception:
         pass
 
+    from ..utils.checkpoint import flush_pending
+    from ..utils.watchdog import StallWatchdog
+    watchdog = StallWatchdog(
+        float(cfg.TPU.get("STALL_TIMEOUT_S", 0)), logger=logger,
+        on_stall=[lambda: flush_pending(output_dir)])
+    if watchdog.enabled:
+        logger.info(f"=> stall watchdog armed on first step "
+                    f"(timeout {watchdog.timeout_s:.0f}s, exit 86)")
+
     # pre-training sanity validation of both models (fpd_train.py:242-250)
     eval_mesh, eval_tvars, run_eval = multihost_eval_setup(mesh, tvars)
     if run_eval:
@@ -183,7 +195,7 @@ def main():
         state = set_lr(state, lr_for_epoch(cfg, epoch))
         state, global_step = fpd_train_one_epoch(
             cfg, train_loader, step_fn, state, tvars, mesh, epoch, logger,
-            writer, global_step, output_dir)
+            writer, global_step, output_dir, watchdog=watchdog)
 
         eval_freq = max(1, int(cfg.TRAIN.get("EVAL_FREQ", 1)))
         if not ((epoch + 1) % eval_freq == 0
@@ -195,7 +207,8 @@ def main():
             perf, *_ = validate(cfg, student, eval_vars, val_loader,
                                 eval_mesh, meta, logger,
                                 is_multi_output(student), evaluate_fn,
-                                output_dir, writer=writer, global_step=epoch)
+                                output_dir, writer=writer, global_step=epoch,
+                                watchdog=watchdog)
             if writer is not None:
                 writer.add_scalar("valid_perf", float(perf), epoch)
 
@@ -210,6 +223,7 @@ def main():
 
     if is_main_process():
         save_final_state(output_dir, state)
+    watchdog.stop()
     if writer is not None:
         writer.close()
 

@@ -35,7 +35,8 @@ from .common import (build_loaders, is_main_process, load_cfg_from_args,
 
 
 def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
-                    writer=None, global_step=0, output_dir=""):
+                    writer=None, global_step=0, output_dir="",
+                    watchdog=None):
     """One training epoch.  Set FHPE_PROFILE_DIR to capture a jax.profiler
     trace of steps 2-12 of epoch 0 (the reference offers wall-clock meters
     only; SURVEY.md section 5)."""
@@ -73,6 +74,8 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
                                   batch["joints_vis"][..., None],
                                   np.asarray(metrics["target"]),
                                   np.asarray(metrics["output"]), prefix)
+        if watchdog is not None:
+            watchdog.beat()
         global_step += 1
     return state, global_step
 
@@ -155,12 +158,21 @@ def main():
     except Exception:
         logger.info("tensorboardX unavailable; skipping TB logging")
 
+    from ..utils.checkpoint import flush_pending
+    from ..utils.watchdog import StallWatchdog
+    watchdog = StallWatchdog(
+        float(cfg.TPU.get("STALL_TIMEOUT_S", 0)), logger=logger,
+        on_stall=[lambda: flush_pending(output_dir)])
+    if watchdog.enabled:
+        logger.info(f"=> stall watchdog armed on first step "
+                    f"(timeout {watchdog.timeout_s:.0f}s, exit 86)")
+
     global_step = 0
     for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
         state = set_lr(state, lr_for_epoch(cfg, epoch))
         state, global_step = train_one_epoch(
             cfg, train_loader, step_fn, state, mesh, epoch, logger, writer,
-            global_step, output_dir)
+            global_step, output_dir, watchdog=watchdog)
 
         eval_freq = max(1, int(cfg.TRAIN.get("EVAL_FREQ", 1)))
         if not ((epoch + 1) % eval_freq == 0
@@ -172,7 +184,7 @@ def main():
             perf, name_values, *_ = validate(
                 cfg, model, eval_vars, val_loader, eval_mesh, meta, logger,
                 is_multi_output(model), evaluate_fn, output_dir,
-                writer=writer, global_step=epoch)
+                writer=writer, global_step=epoch, watchdog=watchdog)
             if writer is not None:
                 writer.add_scalar("valid_perf", float(perf), epoch)
 
@@ -188,6 +200,7 @@ def main():
     if is_main_process():
         save_final_state(output_dir, state)
         logger.info(f"=> saved final state to {output_dir}")
+    watchdog.stop()
     if writer is not None:
         writer.close()
 

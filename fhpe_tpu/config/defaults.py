@@ -86,6 +86,14 @@ def _base() -> CfgNode:
     # library cannot be built.
     c.TPU.NATIVE_DECODE = False
     c.TPU.NATIVE_WARP = False
+    # Stall watchdog (utils/watchdog.py): if the train/eval loop makes no
+    # progress for this many seconds (e.g. the TPU transport drops and a
+    # device fetch blocks forever), dump stacks, flush pending host-side
+    # checkpoint writes, and force-exit 86 so a supervisor can restart the
+    # run (AUTO_RESUME restores the last rolling checkpoint).  0 = off.
+    # Armed only after the first completed step, so cold-cache XLA
+    # compilation does not count; set comfortably above one eval pass.
+    c.TPU.STALL_TIMEOUT_S = 0
 
     c.MODEL = CfgNode()
     c.MODEL.NAME = "pose_hrnet"

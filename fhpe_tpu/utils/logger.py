@@ -23,7 +23,12 @@ def create_logger(cfg, cfg_name: str, phase: str = "train"):
     dataset = cfg.DATASET.DATASET
     model = cfg.MODEL.NAME
     cfg_name = os.path.basename(cfg_name).split(".")[0]
-    time_str = time.strftime("%Y-%m-%d-%H-%M")
+    # The run-dir suffix is the launch timestamp (reference utils.py:36),
+    # which means a supervised restart (stall watchdog exit 86 ->
+    # supervise.sh) would land in a FRESH dir and AUTO_RESUME would find
+    # no checkpoint.  FHPE_RUN_TAG pins the suffix so every restart of a
+    # run shares one dir; supervise.sh exports it before the first launch.
+    time_str = os.environ.get("FHPE_RUN_TAG") or time.strftime("%Y-%m-%d-%H-%M")
 
     final_output_dir = root_output_dir / dataset / model / f"{cfg_name}_{time_str}"
     final_output_dir.mkdir(parents=True, exist_ok=True)

@@ -33,6 +33,8 @@ stage() {
   echo "=== [$(date +%H:%M:%S)] stage $name done rc=$? ==="
 }
 
-stage coco_overfit 10800 scripts/soak/coco_overfit.sh
+stage coco_overfit 14400 scripts/soak/supervise.sh 4 \
+  scripts/soak/coco_overfit.sh \
+  AUTO_RESUME True TPU.STALL_TIMEOUT_S 1800
 stage bench_r3 3600 python bench.py
 echo "=== queue #5 complete ==="
