@@ -52,11 +52,16 @@ def main():
     _, val_loader, meta = build_loaders(cfg, n_dev, train=False)
     evaluate_fn = make_evaluate_fn(cfg)
     eval_mesh, eval_vars, run_eval = multihost_eval_setup(mesh, variables)
+    from ..utils.watchdog import StallWatchdog
+    watchdog = StallWatchdog(float(cfg.TPU.get("STALL_TIMEOUT_S", 0)),
+                             logger=logger)
     if run_eval:
         perf, name_values, *_ = validate(
             cfg, model, eval_vars, val_loader, eval_mesh, meta, logger,
-            is_multi_output(model), evaluate_fn, output_dir)
+            is_multi_output(model), evaluate_fn, output_dir,
+            watchdog=watchdog)
         logger.info(f"=> final perf: {perf:.4f}")
+    watchdog.stop()
 
 
 if __name__ == "__main__":

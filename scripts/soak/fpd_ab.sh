@@ -41,11 +41,11 @@ case "$PHASE" in
       TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False \
       TPU.DECODE_CACHE_MB 2048 \
       OUTPUT_DIR output/fpd_ab LOG_DIR log/fpd_ab \
-      DEBUG.DEBUG False PRINT_FREQ 16 "$@" ;;
+      TPU.STALL_TIMEOUT_S 1800 DEBUG.DEBUG False PRINT_FREQ 16 "$@" ;;
   plain)
     exec python -m fhpe_tpu.cli.train \
       --cfg experiments/mpii/hourglass/hg4_128_student.yaml \
-      "${STUDENT_OVERRIDES[@]}" OUTPUT_DIR output/fpd_ab_plain "$@" ;;
+      "${STUDENT_OVERRIDES[@]}" TPU.STALL_TIMEOUT_S 1800 OUTPUT_DIR output/fpd_ab_plain "$@" ;;
   kd)
     TEACHER=$(ls -t output/fpd_ab/synthetic/hourglass/*/final_state.msgpack \
               | head -1)
@@ -54,6 +54,7 @@ case "$PHASE" in
       --cfg experiments/mpii/hourglass/hg4_128_student.yaml \
       --tcfg experiments/mpii/hourglass/hg8_256x256_teacher.yaml \
       "${STUDENT_OVERRIDES[@]}" OUTPUT_DIR output/fpd_ab_kd \
-      KD.TRAIN_TYPE FPD KD.TEACHER "$TEACHER" KD.ALPHA 0.5 "$@" ;;
+      KD.TRAIN_TYPE FPD KD.TEACHER "$TEACHER" KD.ALPHA 0.5 \
+      TPU.STALL_TIMEOUT_S 1800 "$@" ;;
   *) echo "unknown phase $PHASE"; exit 2 ;;
 esac

@@ -38,4 +38,5 @@ case "$FAMILY" in
 esac
 
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
-exec python -m fhpe_tpu.cli.train --cfg "$CFG" "${COMMON[@]}" "${EXTRA[@]}" "$@"
+exec python -m fhpe_tpu.cli.train --cfg "$CFG" "${COMMON[@]}" "${EXTRA[@]}" \
+  TPU.STALL_TIMEOUT_S 1800 "$@"

@@ -16,4 +16,4 @@ exec python -m fhpe_tpu.cli.train \
   TEST.BATCH_SIZE_PER_GPU 128 TEST.FLIP_TEST False \
   TPU.DECODE_CACHE_MB 2048 TPU.NATIVE_DECODE True \
   OUTPUT_DIR output/soak LOG_DIR log/soak \
-  DEBUG.DEBUG False PRINT_FREQ 16 "$@"
+  TPU.STALL_TIMEOUT_S 1800 DEBUG.DEBUG False PRINT_FREQ 16 "$@"
