@@ -132,8 +132,12 @@ def main():
     from flax import serialization
     tvars = serialization.from_state_dict(t_init, tvars)
 
-    # student warm-start (reference fpd_train.py:169-172)
-    if cfg.TRAIN.CHECKPOINT and os.path.exists(cfg.TRAIN.CHECKPOINT):
+    # student warm-start (reference fpd_train.py:169-172; like it, a set
+    # but missing path fails loudly instead of silently training fresh)
+    if cfg.TRAIN.CHECKPOINT:
+        if not os.path.exists(cfg.TRAIN.CHECKPOINT):
+            raise SystemExit(
+                f"TRAIN.CHECKPOINT not found: {cfg.TRAIN.CHECKPOINT}")
         w = load_model_weights(cfg.TRAIN.CHECKPOINT)
         state = state.replace(
             params=serialization.from_state_dict(state.params, w["params"]),
@@ -220,6 +224,12 @@ def main():
                 save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
                 logger.info(f"=> checkpoint saved (perf {perf:.4f}, "
                             f"best {best_perf:.4f})")
+            elif is_best:
+                # CKPT_FREQ skipped the rolling checkpoint, but best_perf
+                # ratchets every eval — snapshot model_best now or these
+                # weights are lost and later epochs can't re-qualify.
+                from ..utils.checkpoint import save_best
+                save_best(output_dir, state)
 
     if is_main_process():
         save_final_state(output_dir, state)

@@ -123,7 +123,13 @@ def main():
     # reference's student warm-start (tools/fpd_train.py:169-172); epoch
     # and optimizer state start fresh (AUTO_RESUME below restores those
     # when continuing the same run dir).
-    if cfg.TRAIN.CHECKPOINT and os.path.exists(cfg.TRAIN.CHECKPOINT):
+    if cfg.TRAIN.CHECKPOINT:
+        if not os.path.exists(cfg.TRAIN.CHECKPOINT):
+            # fail loudly like the reference's unconditional load
+            # (fpd_train.py:169-172): a typo'd path must not silently
+            # turn a warm-started run into a from-scratch run
+            raise SystemExit(
+                f"TRAIN.CHECKPOINT not found: {cfg.TRAIN.CHECKPOINT}")
         from flax import serialization
         from ..utils.checkpoint import load_model_weights
         w = load_model_weights(cfg.TRAIN.CHECKPOINT)
@@ -196,6 +202,12 @@ def main():
                 logger.info(f"=> saving checkpoint to {output_dir} "
                             f"(perf {perf:.4f}, best {best_perf:.4f})")
                 save_checkpoint(output_dir, state, epoch + 1, perf, is_best)
+            elif is_best:
+                # CKPT_FREQ skipped the rolling checkpoint, but best_perf
+                # ratchets every eval — snapshot model_best now or these
+                # weights are lost and later epochs can't re-qualify.
+                from ..utils.checkpoint import save_best
+                save_best(output_dir, state)
 
     if is_main_process():
         save_final_state(output_dir, state)

@@ -62,8 +62,11 @@ def _base() -> CfgNode:
     # the host pipeline (~3-5 ms/sample vs ~0.3 ms for the warp); with a
     # budget the loader keeps decoded images (train; augmentation stays
     # random) and finished eval samples in RAM from epoch 2 onward.
-    # Size to the decoded dataset (synthetic soak: 2048x256x256x3 = 400 MB;
-    # full MPII does not fit - leave 0 there unless RAM allows ~70 GB).
+    # The budget is PROCESS-GLOBAL: train images, their cached flipped
+    # copies (2x per image with DATASET.FLIP), and eval samples all share
+    # it.  Size to the decoded bytes actually cached (synthetic soak:
+    # 2048x256x256x3 = 400 MB decoded, ~2x that with flips + eval split;
+    # full MPII does not fit - leave 0 there unless RAM allows ~140 GB).
     c.TPU.DECODE_CACHE_MB = 0
     # Opt-in (hourglass): drop the conv biases that a downstream BatchNorm
     # absorbs exactly (all but the score heads' in the pre-activation

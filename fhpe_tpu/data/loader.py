@@ -21,10 +21,26 @@ the raw image is flipped and the center mirrored before the affine
 from __future__ import annotations
 
 import random as pyrandom
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import numpy as np
+
+# Process-global decoded-cache accounting (TPU.DECODE_CACHE_MB): one byte
+# pool shared by every PoseDataSource in the process so the knob bounds
+# TOTAL cache RSS (train images + flipped copies + finished eval samples),
+# not per-source multiples of it.  Each source's reservations are returned
+# to the pool when the source is garbage-collected (weakref.finalize), so
+# sequential runs in one process don't starve later caches.
+_cache_lock = threading.Lock()
+_cache_used = [0]
+
+
+def _return_cache_bytes(reserved_cell):
+    with _cache_lock:
+        _cache_used[0] -= reserved_cell[0]
+        reserved_cell[0] = 0
 
 from ..geometry.affine import get_affine_transform, affine_transform
 from ..geometry.flip import fliplr_joints
@@ -150,17 +166,29 @@ class PoseDataSource:
         # so for them the FINISHED sample (warp + targets) is cached.
         # Thread notes: plain dict get/set under the GIL; a rare racing
         # double-decode wastes one decode, never corrupts (arrays are
-        # immutable once inserted).  Budget accounting is approximate.
+        # immutable once inserted).  The byte budget is PROCESS-GLOBAL
+        # (shared across all sources — train + val + flipped copies
+        # together), so DECODE_CACHE_MB bounds total cache RSS rather
+        # than multiplying per source.
         self._cache_budget = int(cfg.TPU.get("DECODE_CACHE_MB", 0)) * (1 << 20)
         self._img_cache: Dict[str, np.ndarray] = {}
         self._sample_cache: Dict = {}
-        self._cache_bytes = 0
+        self._reserved_cell = [0]
+        import weakref
+        weakref.finalize(self, _return_cache_bytes, self._reserved_cell)
+
+    def _cache_reserve(self, nbytes: int) -> bool:
+        with _cache_lock:
+            if _cache_used[0] + nbytes > self._cache_budget:
+                return False
+            _cache_used[0] += nbytes
+            self._reserved_cell[0] += nbytes
+            return True
 
     def _cache_put(self, key, arr: np.ndarray) -> None:
-        if self._cache_bytes + arr.nbytes <= self._cache_budget:
+        if self._cache_reserve(arr.nbytes):
             arr.setflags(write=False)
             self._img_cache[key] = arr
-            self._cache_bytes += arr.nbytes
 
     def _read_cached(self, path: str) -> np.ndarray:
         if self._cache_budget <= 0:
@@ -327,9 +355,8 @@ class PoseDataSource:
         if not self.is_train and self._cache_budget > 0:
             nbytes = sum(v.nbytes for v in sample.values()
                          if isinstance(v, np.ndarray))
-            if self._cache_bytes + nbytes <= self._cache_budget:
+            if self._cache_reserve(nbytes):
                 self._sample_cache[(idx, host_targets)] = sample
-                self._cache_bytes += nbytes
         return sample
 
 

@@ -73,20 +73,61 @@ def available() -> bool:
     return get_lib() is not None
 
 
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def _jpeg_dims_fast(buf: bytes) -> Optional[Tuple[int, int]]:
+    """(height, width) from the SOF marker, scanning segment lengths.
+
+    Pure-Python so the C decoder does not have to parse the header twice
+    (jpeg_read_header also builds quant/huffman state — measurable per
+    sample on the hot loader path).  Returns None on anything unusual;
+    the caller then falls back to the C header parse."""
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    i = 2
+    n = len(buf)
+    while i + 3 < n:
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # RST/SOI/EOI/TEM
+            i += 2
+            continue
+        seg_len = (buf[i + 2] << 8) | buf[i + 3]
+        if seg_len < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            if i + 9 >= n:
+                return None
+            h = (buf[i + 5] << 8) | buf[i + 6]
+            w = (buf[i + 7] << 8) | buf[i + 8]
+            return (h, w) if h > 0 and w > 0 else None
+        i += 2 + seg_len
+    return None
+
+
 def decode_jpeg_bytes(buf: bytes, bgr: bool = True) -> Optional[np.ndarray]:
     """Decode a JPEG byte string to (H, W, 3) uint8; None on failure."""
     lib = get_lib()
     if lib is None:
         return None
     src = np.frombuffer(buf, dtype=np.uint8)
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    c = ctypes.c_int()
-    if lib.fhpe_jpeg_dims(src.ctypes.data_as(_u8p), src.size,
-                          ctypes.byref(w), ctypes.byref(h),
-                          ctypes.byref(c)):
-        return None
-    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    dims = _jpeg_dims_fast(buf)
+    if dims is None:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        if lib.fhpe_jpeg_dims(src.ctypes.data_as(_u8p), src.size,
+                              ctypes.byref(w), ctypes.byref(h),
+                              ctypes.byref(c)):
+            return None
+        dims = (h.value, w.value)
+    out = np.empty((dims[0], dims[1], 3), dtype=np.uint8)
     rc = lib.fhpe_jpeg_decode(src.ctypes.data_as(_u8p), src.size,
                               out.ctypes.data_as(_u8p), out.nbytes,
                               1 if bgr else 0)

@@ -117,6 +117,44 @@ def save_checkpoint(output_dir: str, state, epoch: int, perf: float,
         work()
 
 
+def save_best(output_dir: str, state, async_write: bool = True) -> None:
+    """Snapshot ONLY ``model_best`` (no rolling checkpoint).
+
+    Needed when TRAIN.CKPT_FREQ skips the rolling checkpoint of an eval
+    epoch that nevertheless set a new best: ``best_perf`` keeps ratcheting
+    up in the epoch loop, so without this write the best weights would be
+    lost and later, worse, epochs could never qualify — ``model_best``
+    would go stale or never be written at all."""
+    os.makedirs(output_dir, exist_ok=True)
+    writer = _writer_for(output_dir)
+    writer.flush()
+    best = {
+        "params": serialization.to_state_dict(_to_numpy(state.params)),
+        "batch_stats": serialization.to_state_dict(
+            _to_numpy(state.batch_stats)),
+    }
+
+    def work():
+        _write_atomic(os.path.join(output_dir, BEST_NAME),
+                      serialization.msgpack_serialize(best))
+
+    if async_write:
+        writer.pending.append(writer.pool.submit(work))
+    else:
+        work()
+
+
+def release_writer(output_dir: str) -> None:
+    """Flush and retire a run's async writer (end of run).  Without this
+    every output dir leaks one parked writer thread for the process
+    lifetime (tests, multi-run drivers)."""
+    key = os.path.abspath(output_dir)
+    w = _writers.pop(key, None)
+    if w is not None:
+        w.flush()
+        w.pool.shutdown(wait=True)
+
+
 def save_final_state(output_dir: str, state) -> None:
     flush_pending(output_dir)
     best = {
@@ -125,6 +163,7 @@ def save_final_state(output_dir: str, state) -> None:
     }
     _write_atomic(os.path.join(output_dir, FINAL_NAME),
                   serialization.msgpack_serialize(best))
+    release_writer(output_dir)
 
 
 def load_checkpoint_file(path: str) -> Dict[str, Any]:

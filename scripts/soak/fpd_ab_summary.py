@@ -25,20 +25,24 @@ def pck_series(log_path: str) -> list[float]:
     """Per-epoch student val PCK from a run log.
 
     fpd_train logs two pre-train validations (teacher, then untrained
-    student: "=> teacher perf" / "=> student perf") before epoch 0;
-    both are dropped so only the trained student's series remains.
+    student); each prints its "overall PCK" line immediately BEFORE its
+    "=> teacher perf" / "=> student perf" summary marker.  Dropping is
+    therefore positional: a marker retracts the most recent PCK entry.
+    (A supervised restart appends a fresh pre-train pair mid-file to the
+    same running.log — a count-dropped-from-the-front scheme would then
+    discard real trained-student entries instead.)
     """
     out = []
-    pretrain_drop = 0
     with open(log_path) as f:
         for line in f:
             if "=> teacher perf" in line or "=> student perf" in line:
-                pretrain_drop += 1
+                if out:
+                    out.pop()
                 continue
             m = re.search(r"overall PCK ([0-9.]+)", line)
             if m:
                 out.append(float(m.group(1)))
-    return out[pretrain_drop:]
+    return out
 
 
 def main() -> None:

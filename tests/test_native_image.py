@@ -60,6 +60,37 @@ def test_jpeg_decode_bit_identical(hw, quality, progressive):
     np.testing.assert_array_equal(ref[:, :, ::-1], got_rgb)
 
 
+def test_jpeg_dims_fast_matches_c_header_parse():
+    """The pure-Python SOF scan (single-header-parse fast path) must agree
+    with libjpeg's header parse on every encoder variant, and reject
+    non-JPEG bytes so the caller falls back."""
+    import ctypes
+    lib = ni.get_lib()
+    rng = np.random.RandomState(3)
+    cases = []
+    for hw in [(64, 96), (123, 77), (1, 1), (17, 513)]:
+        img = rng.randint(0, 256, (*hw, 3), np.uint8)
+        for flags in ([int(cv2.IMWRITE_JPEG_QUALITY), 80],
+                      [int(cv2.IMWRITE_JPEG_PROGRESSIVE), 1],
+                      [int(cv2.IMWRITE_JPEG_OPTIMIZE), 1]):
+            ok, buf = cv2.imencode(".jpg", img, flags)
+            assert ok
+            cases.append(buf.tobytes())
+    gray = rng.randint(0, 256, (40, 60), np.uint8)
+    cases.append(cv2.imencode(".jpg", gray)[1].tobytes())
+    for buf in cases:
+        got = ni._jpeg_dims_fast(buf)
+        src = np.frombuffer(buf, dtype=np.uint8)
+        w = ctypes.c_int(); h = ctypes.c_int(); c = ctypes.c_int()
+        assert lib.fhpe_jpeg_dims(
+            src.ctypes.data_as(ni._u8p), src.size, ctypes.byref(w),
+            ctypes.byref(h), ctypes.byref(c)) == 0
+        assert got == (h.value, w.value), (got, h.value, w.value)
+    assert ni._jpeg_dims_fast(b"") is None
+    assert ni._jpeg_dims_fast(b"\x89PNG\r\n\x1a\n") is None
+    assert ni._jpeg_dims_fast(b"\xff\xd8\xff") is None
+
+
 def test_jpeg_decode_grayscale_source():
     rng = np.random.RandomState(9)
     gray = rng.randint(0, 256, (50, 70), np.uint8)

@@ -73,3 +73,65 @@ def test_cached_arrays_are_write_protected(db):
     img = src._img_cache[db[0]["image"]]
     with pytest.raises(ValueError):
         img[0, 0, 0] = 0
+
+
+def test_cache_budget_is_process_global_and_released(db):
+    """DECODE_CACHE_MB bounds the TOTAL cached bytes across all sources
+    in the process (train + val together), and a source's reservations
+    return to the pool when it is garbage-collected."""
+    import gc
+
+    from fhpe_tpu.data import loader as ld
+
+    meta = dataset_meta("mpii")
+    gc.collect()  # retire finalizers of earlier tests' sources
+    base = ld._cache_used[0]
+
+    def mk():
+        return PoseDataSource(_cfg(1024), db, is_train=True,
+                              flip_pairs=meta["flip_pairs"],
+                              upper_body_ids=meta["upper_body_ids"])
+
+    a, b = mk(), mk()
+    a.get_sample(0)
+    b.get_sample(0)
+    used = ld._cache_used[0] - base
+    # both sources' insertions drew from ONE pool
+    per_source = (a._reserved_cell[0], b._reserved_cell[0])
+    assert used == sum(per_source) and all(n > 0 for n in per_source)
+
+    del a
+    gc.collect()
+    assert ld._cache_used[0] - base == per_source[1]  # a's bytes returned
+    del b
+    gc.collect()
+    assert ld._cache_used[0] == base
+
+
+def test_cache_budget_starvation_is_shared_not_per_source(db):
+    """With a pool already near-full, a second source cannot reserve a
+    fresh full budget for itself (the pre-fix behavior): its inserts are
+    refused, and it still serves bit-correct samples uncached."""
+    import gc
+
+    from fhpe_tpu.data import loader as ld
+
+    meta = dataset_meta("mpii")
+    gc.collect()
+    cfg = _cfg(1)  # 1 MB total pool
+    filler = PoseDataSource(cfg, db, is_train=True,
+                            flip_pairs=meta["flip_pairs"],
+                            upper_body_ids=meta["upper_body_ids"])
+    # occupy all but a sliver of the pool (smaller than one 96x96 image)
+    assert filler._cache_reserve((1 << 20) - ld._cache_used[0] - 1000)
+
+    other = PoseDataSource(cfg, db, is_train=False,
+                           flip_pairs=meta["flip_pairs"],
+                           upper_body_ids=meta["upper_body_ids"])
+    s = other.get_sample(0)
+    # pre-fix, `other` would have had its own fresh 1 MB budget and
+    # cached freely; with the shared pool its insert is refused
+    assert other._reserved_cell[0] == 0
+    assert s["image"].shape[0] == 64  # still correct, just uncached
+    del filler, other
+    gc.collect()
