@@ -58,7 +58,44 @@ def _hg_cfg(stacks, feats):
     return cfg
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+    """Gate on device-transport health before benchmarking.
+
+    A dead TPU relay hangs even ``jax.devices()`` in-process (observed
+    live: a 7h outage on this box), so the probe runs a tiny matmul in a
+    *subprocess* with a hard timeout, and we retry for up to
+    ``max_wait_s`` before proceeding anyway (letting the in-process run
+    fail loudly rather than silently skipping the bench).
+    """
+    import subprocess
+    import sys
+
+    if max_wait_s <= 0:
+        return
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+             "assert float((x @ x).sum()) > 0")
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe],
+                                timeout=120, capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.monotonic() >= deadline:
+            print(f"# bench: device probe still failing after "
+                  f"{max_wait_s:.0f}s; attempting the run anyway",
+                  flush=True)
+            return
+        print("# bench: device transport unhealthy; retrying in 60s",
+              flush=True)
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_device(float(os.environ.get("FHPE_BENCH_RELAY_WAIT_S", "1200")))
+
     import jax
     import jax.numpy as jnp
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from collections import OrderedDict
 
 import numpy as np
 
@@ -116,11 +117,16 @@ def multihost_eval_setup(mesh, variables):
     import jax
     if jax.process_count() == 1:
         return mesh, variables, True
-    from ..parallel.mesh import get_local_mesh
+    from ..parallel.mesh import get_local_mesh, replicated
     if not is_main_process():
         return mesh, variables, False
+    # Pull to host (frees the global-mesh placement), then commit ONCE to
+    # the local mesh: leaving numpy leaves would re-upload the full model
+    # on every eval batch (numpy args are transferred per jitted call).
+    local_mesh = get_local_mesh()
     host_vars = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
-    return get_local_mesh(), host_vars, True
+    dev_vars = jax.device_put(host_vars, replicated(local_mesh))
+    return local_mesh, dev_vars, True
 
 
 def train_batch_keys(cfg):
@@ -166,6 +172,32 @@ def device_batch(cfg, batch, mesh, for_eval=False):
                               for k in train_batch_keys(cfg)})
 
 
+# make_eval_step builds a fresh shard_map+jit closure; without memoization
+# every validate() call (each EVAL_FREQ epochs) re-traces and re-compiles
+# the whole eval graph — the train step is built once, the eval step must
+# be too.  Keyed on the identities that change the traced program; LRU-
+# bounded so long test sessions creating many models don't pin compiled
+# executables forever.
+_EVAL_STEP_CACHE: OrderedDict = OrderedDict()
+_EVAL_STEP_CACHE_MAX = 8
+
+
+def _cached_eval_step(model, cfg, mesh, multi_output, perm, prepare, debug):
+    key = (id(model), id(cfg), mesh, multi_output,
+           prepare is not None, debug)
+    step = _EVAL_STEP_CACHE.get(key)
+    if step is None:
+        step = make_eval_step(model, cfg, mesh, multi_output,
+                              flip_perm=perm, prepare=prepare,
+                              debug_outputs=debug)
+        _EVAL_STEP_CACHE[key] = step
+        while len(_EVAL_STEP_CACHE) > _EVAL_STEP_CACHE_MAX:
+            _EVAL_STEP_CACHE.popitem(last=False)
+    else:
+        _EVAL_STEP_CACHE.move_to_end(key)
+    return step
+
+
 def validate(cfg, model, variables, val_loader, mesh, meta, logger,
              multi_output: bool, evaluate_fn=None, output_dir: str = "",
              writer=None, global_step: int = 0, watchdog=None):
@@ -180,9 +212,8 @@ def validate(cfg, model, variables, val_loader, mesh, meta, logger,
     prepare = (make_batch_preprocessor(cfg, meta["joints_weight"])
                if cfg.TPU.DEVICE_PREPROCESS else None)
     debug = bool(cfg.DEBUG.DEBUG and output_dir)
-    eval_step = make_eval_step(model, cfg, mesh, multi_output,
-                               flip_perm=perm, prepare=prepare,
-                               debug_outputs=debug)
+    eval_step = _cached_eval_step(model, cfg, mesh, multi_output,
+                                  perm, prepare, debug)
 
     num_samples = len(val_loader.source)
     num_joints = meta["num_joints"]

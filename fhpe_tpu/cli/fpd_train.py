@@ -131,6 +131,17 @@ def main():
     t_init = teacher.init(jax.random.PRNGKey(1), sample, train=False)
     from flax import serialization
     tvars = serialization.from_state_dict(t_init, tvars)
+    # Commit the frozen teacher to device ONCE, replicated over the mesh.
+    # The msgpack restore yields numpy leaves, and numpy arguments are
+    # re-transferred on EVERY jitted call — measured ~10x slower FPD
+    # steps through the relay (~100 MB of teacher weights per step) until
+    # this device_put.  Multi-host keeps host arrays (a single-controller
+    # device_put cannot target non-addressable devices); that path keeps
+    # the per-step transfer, but over local PCIe rather than this box's
+    # relay, and is not a benched configuration.
+    if jax.process_count() == 1:
+        from ..parallel.mesh import replicated
+        tvars = jax.device_put(tvars, replicated(mesh))
 
     # student warm-start (reference fpd_train.py:169-172; like it, a set
     # but missing path fails loudly instead of silently training fresh)

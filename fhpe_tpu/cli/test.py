@@ -48,6 +48,11 @@ def main():
     init_vars = model.init(jax.random.PRNGKey(0), sample, train=False)
     weights = load_model_weights(model_file)
     variables = serialization.from_state_dict(init_vars, weights)
+    # Commit the restored (numpy-leaf) weights to device once — numpy
+    # arguments re-transfer on every jitted eval batch otherwise.
+    if jax.process_count() == 1:
+        from ..parallel.mesh import replicated
+        variables = jax.device_put(variables, replicated(mesh))
 
     _, val_loader, meta = build_loaders(cfg, n_dev, train=False)
     evaluate_fn = make_evaluate_fn(cfg)

@@ -44,15 +44,18 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
     from .common import train_batch_keys
 
     profile_dir = os.environ.get("FHPE_PROFILE_DIR")
+    trace_open = False
     meters = WindowedMeters(value_keys=("loss",))
     stream = prefetch_to_device(iter(loader), mesh, keys=train_batch_keys(cfg))
     for i, (dev, batch) in enumerate(stream):
         if profile_dir and epoch == 0 and i == 2:
             jax.profiler.start_trace(profile_dir)
+            trace_open = True
         state, metrics = step_fn(state, dev)
-        if profile_dir and epoch == 0 and i == 12:
+        if trace_open and i == 12:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
+            trace_open = False
             logger.info(f"=> wrote profiler trace to {profile_dir}")
         n = batch["joints"].shape[0]
         meters.push(metrics, n)
@@ -77,6 +80,9 @@ def train_one_epoch(cfg, loader, step_fn, state, mesh, epoch, logger,
         if watchdog is not None:
             watchdog.beat()
         global_step += 1
+    if trace_open:  # epoch shorter than the 13-step trace window
+        jax.profiler.stop_trace()
+        logger.info(f"=> wrote (short-epoch) profiler trace to {profile_dir}")
     return state, global_step
 
 

@@ -279,5 +279,13 @@ def load_config(cfg_file: str, opts: list | None = None,
     if cfg.TEST.MODEL_FILE:
         cfg.TEST.MODEL_FILE = os.path.join(cfg.DATA_DIR, cfg.TEST.MODEL_FILE)
 
+    # DEVICE_WARP ships canvases + affines and relies on the on-device
+    # preprocessor to warp/normalize/stamp targets; without it the step
+    # has neither an image nor a target (a bare KeyError deep inside
+    # shard_map tracing otherwise).
+    if cfg.TPU.get("DEVICE_WARP", False) and not cfg.TPU.DEVICE_PREPROCESS:
+        raise ValueError(
+            "TPU.DEVICE_WARP True requires TPU.DEVICE_PREPROCESS True")
+
     cfg.freeze()
     return cfg

@@ -420,6 +420,21 @@ class BatchLoader:
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.batch_pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
         self.prefetch = prefetch
+        # Retire the worker threads when the loader is dropped: a process
+        # that constructs many loaders (tests, multi-run drivers) must not
+        # accumulate num_threads+prefetch parked threads per loader.
+        import weakref
+        self._finalizer = weakref.finalize(
+            self, BatchLoader._shutdown_pools, self.pool, self.batch_pool)
+
+    @staticmethod
+    def _shutdown_pools(pool, batch_pool):
+        batch_pool.shutdown(wait=False)
+        pool.shutdown(wait=False)
+
+    def close(self):
+        """Explicitly retire the loader's thread pools (idempotent)."""
+        self._finalizer()
 
     def __len__(self):
         n = len(self.source)

@@ -15,7 +15,9 @@ since the last beat.  If it exceeds ``timeout_s`` the watchdog
 1. logs the stall and dumps every thread's stack (``faulthandler``) so
    the blocking frame is visible post-mortem,
 2. runs any registered ``on_stall`` callbacks (e.g. flushing pending
-   host-side checkpoint writes, which need no device access),
+   host-side checkpoint writes) on a daemon helper with a hard time
+   budget — a callback that itself blocks on the dead transport cannot
+   stop the exit,
 3. force-exits with ``exit_code`` (``os._exit`` — a blocked device fetch
    holds locks that make a clean ``sys.exit`` unreachable).
 
@@ -61,12 +63,14 @@ class StallWatchdog:
 
     def __init__(self, timeout_s: float, logger=None, on_stall=(),
                  exit_code: int = DEFAULT_EXIT_CODE, exit_fn=None,
-                 poll_s: float | None = None):
+                 poll_s: float | None = None,
+                 callback_timeout_s: float = 30.0):
         self.timeout_s = float(timeout_s)
         self.enabled = self.timeout_s > 0
         self.logger = logger
         self.on_stall = tuple(on_stall)
         self.exit_code = exit_code
+        self.callback_timeout_s = float(callback_timeout_s)
         self.exit_fn = exit_fn if exit_fn is not None else os._exit
         self.poll_s = poll_s if poll_s else min(max(self.timeout_s / 4, 0.05), 30.0)
         self._last_beat = None  # armed by the first beat()
@@ -139,11 +143,20 @@ class StallWatchdog:
             faulthandler.dump_traceback(all_threads=True)
         except Exception:
             pass
-        for cb in self.on_stall:
-            try:
-                cb()
-            except Exception:
-                pass
+        # Callbacks run on a daemon helper with a hard time budget: a
+        # callback that itself blocks on the dead transport/storage (e.g.
+        # flush_pending joining a wedged checkpoint write) must not stop
+        # the force-exit — guaranteeing the exit is this class's one job.
+        def run_callbacks():
+            for cb in self.on_stall:
+                try:
+                    cb()
+                except Exception:
+                    pass
+        t = threading.Thread(target=run_callbacks, daemon=True,
+                             name="fhpe-stall-callbacks")
+        t.start()
+        t.join(timeout=self.callback_timeout_s)
         self.exit_fn(self.exit_code)
 
 
