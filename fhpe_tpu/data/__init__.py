@@ -8,7 +8,8 @@ import os
 from . import coco, mpii
 from .filters import select_data
 from .loader import BatchLoader, PoseDataSource, collate
-from .synthetic import make_synthetic_coco, make_synthetic_db
+from .synthetic import (make_synthetic_coco, make_synthetic_db,
+                        make_synthetic_mpii)
 
 
 def dataset_meta(name: str) -> dict:
@@ -76,4 +77,5 @@ def _build_db_raw(cfg, image_set: str, is_train: bool):
 
 __all__ = ["BatchLoader", "PoseDataSource", "collate", "build_db",
            "dataset_meta", "make_synthetic_db", "make_synthetic_coco",
+           "make_synthetic_mpii",
            "mpii", "coco"]

@@ -54,6 +54,86 @@ def make_synthetic_db(out_dir: str, num_samples: int = 16,
     return db
 
 
+def make_synthetic_mpii(root: str, image_set: str = "synval",
+                        num_images: int = 64,
+                        image_hw: Tuple[int, int] = (256, 256),
+                        seed: int = 0) -> str:
+    """Write an MPII-FORMAT synthetic dataset (images + annot json + gt mat).
+
+    Produces the on-disk layout the real MPII pipeline consumes —
+    ``<root>/images/*.jpg``, ``<root>/annot/<set>.json`` (1-based coords,
+    pre-compensated for the builder's ``center[1] += 15*scale`` shift,
+    reference lib/dataset/mpii.py:60-66), and ``<root>/annot/
+    gt_<set>.mat`` in the MPII-toolkit schema (dataset_joints /
+    jnt_missing / pos_gt_src / headboxes_src, lib/dataset/mpii.py:125-137)
+    — so training + evaluation run the full stack: ``build_db`` ->
+    augment/warp -> train -> decode -> ``evaluate()`` PCKh against the
+    .mat ground truth.  One disk-marked 16-joint person per image; the
+    headbox is a fixed 60px box around the head joint (PCKh threshold
+    0.6 * ||(60,60)|| * 0.5 ~ 25 px).  Returns the annot json path.
+    ``image_set`` must not contain "test" (test sets skip evaluation).
+    """
+    import cv2
+    import json
+    from scipy.io import savemat
+
+    from .mpii import JOINT_NAMES
+
+    assert "test" not in image_set
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    ann_dir = os.path.join(root, "annot")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    h, w = image_hw
+    num_joints = 16
+
+    anno = []
+    pos_gt = np.zeros((num_joints, 2, num_images))
+    headboxes = np.zeros((2, 2, num_images))
+    for i in range(num_images):
+        img = rng.randint(0, 40, size=(h, w, 3), dtype=np.uint8)
+        margin = min(40, h // 4, w // 4)
+        joints = np.zeros((num_joints, 2))
+        for j in range(num_joints):
+            x = int(rng.randint(margin, w - margin))
+            y = int(rng.randint(margin, h - margin))
+            color = (int(80 + 10 * j), int(255 - 10 * j), 200)
+            cv2.circle(img, (x, y), 6, color, -1)
+            joints[j] = (x, y)
+        name = f"synt_{i:06d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+
+        s_json = h / 200.0
+        # 1-based json coords; center[1] pre-compensates the builder's
+        # +15*scale head-room shift so the effective crop stays centered
+        anno.append({
+            "image": name,
+            "center": [w / 2.0 + 1.0, h / 2.0 + 1.0 - 15.0 * s_json],
+            "scale": s_json,
+            "joints": (joints + 1.0).tolist(),
+            "joints_vis": [1] * num_joints,
+        })
+        pos_gt[:, :, i] = joints + 1.0           # matlab 1-based
+        head = joints[JOINT_NAMES.index("head")] + 1.0
+        headboxes[0, :, i] = head - 30.0
+        headboxes[1, :, i] = head + 30.0
+
+    ann_file = os.path.join(ann_dir, f"{image_set}.json")
+    with open(ann_file, "w") as f:
+        json.dump(anno, f)
+
+    joint_names = np.zeros((1, num_joints), dtype=object)
+    for j, nm in enumerate(JOINT_NAMES):
+        joint_names[0, j] = nm
+    savemat(os.path.join(ann_dir, f"gt_{image_set}.mat"),
+            {"dataset_joints": joint_names,
+             "jnt_missing": np.zeros((num_joints, num_images)),
+             "pos_gt_src": pos_gt,
+             "headboxes_src": headboxes})
+    return ann_file
+
+
 def make_synthetic_coco(root: str, image_set: str = "synval2017",
                         num_images: int = 64,
                         image_hw: Tuple[int, int] = (256, 256),
