@@ -94,9 +94,17 @@ def make_synthetic_mpii(root: str, image_set: str = "synval",
     for i in range(num_images):
         img = rng.randint(0, 40, size=(h, w, 3), dtype=np.uint8)
         margin = min(40, h // 4, w // 4)
+        # The MPII scale below is height-derived (s = h/200), so the square
+        # 250*s crop window spans only +-0.625*h around the center in x; for
+        # wide images (w > 1.25*h) joints near the left/right margins would
+        # fall outside the crop, breaking the overfit/containment guarantees.
+        half_w = 0.625 * h
+        x_lo = max(margin, int(w / 2.0 - half_w) + 8)
+        x_hi = min(w - margin, int(w / 2.0 + half_w) - 8)
+        assert x_lo < x_hi, f"image_hw {image_hw} leaves no in-crop x range"
         joints = np.zeros((num_joints, 2))
         for j in range(num_joints):
-            x = int(rng.randint(margin, w - margin))
+            x = int(rng.randint(x_lo, x_hi))
             y = int(rng.randint(margin, h - margin))
             color = (int(80 + 10 * j), int(255 - 10 * j), 200)
             cv2.circle(img, (x, y), 6, color, -1)

@@ -38,6 +38,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..data import dataset_meta
+from ..data.coco import xywh2cs
 from ..geometry.affine import get_affine_transform
 from ..geometry.flip import flip_back_jax, flip_pair_permutation
 from ..models import get_pose_net, is_multi_output
@@ -46,24 +47,15 @@ from ..ops.preprocess import normalize_images_jax
 from ..parallel.mesh import DATA_AXIS, batch_sharding, get_mesh, replicated
 
 
-def xywh_to_center_scale(box, aspect_ratio: float, pixel_std: float = 200.0,
-                         padding: float = 1.25):
+def xywh_to_center_scale(box, aspect_ratio: float, pixel_std: float = 200.0):
     """Person box (x, y, w, h) -> (center, scale) crop parametrization.
 
-    The COCO loader convention (``lib/dataset/coco.py:112-134``): aspect-fit
-    the box to the model input ratio, scale in units of ``pixel_std`` px,
-    padded by 25%.
+    Thin wrapper over the COCO loader's :func:`fhpe_tpu.data.coco.xywh2cs`
+    (``lib/dataset/coco.py:112-134`` semantics) so the box->crop logic has
+    exactly one implementation.
     """
     x, y, w, h = [float(v) for v in box]
-    center = np.array([x + w * 0.5, y + h * 0.5], dtype=np.float64)
-    if w > aspect_ratio * h:
-        h = w / aspect_ratio
-    elif w < aspect_ratio * h:
-        w = h * aspect_ratio
-    scale = np.array([w / pixel_std, h / pixel_std], dtype=np.float64)
-    if center[0] != -1:
-        scale = scale * padding
-    return center, scale
+    return xywh2cs(x, y, w, h, aspect_ratio, pixel_std)
 
 
 class Predictor:
@@ -82,7 +74,8 @@ class Predictor:
     """
 
     def __init__(self, cfg, variables, batch_size: Optional[int] = None,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 flip_pairs: Optional[Sequence] = None):
         self.cfg = cfg
         if n_devices is None:
             n_devices = (cfg.TPU.NUM_DEVICES if cfg.TPU.NUM_DEVICES > 0
@@ -111,9 +104,17 @@ class Predictor:
         flip_test = bool(cfg.TEST.FLIP_TEST)
         perm = None
         if flip_test:
-            meta = dataset_meta(cfg.DATASET.DATASET)
-            perm = jnp.asarray(flip_pair_permutation(
-                meta["num_joints"], meta["flip_pairs"]))
+            num_joints = int(cfg.MODEL.NUM_JOINTS)
+            if flip_pairs is None:
+                meta = dataset_meta(cfg.DATASET.DATASET)
+                if meta["num_joints"] != num_joints:
+                    raise ValueError(
+                        f"MODEL.NUM_JOINTS={num_joints} != dataset "
+                        f"'{cfg.DATASET.DATASET}' joint count "
+                        f"{meta['num_joints']}; pass flip_pairs= explicitly "
+                        f"for non-registry joint layouts")
+                flip_pairs = meta["flip_pairs"]
+            perm = jnp.asarray(flip_pair_permutation(num_joints, flip_pairs))
         shift = bool(cfg.TEST.SHIFT_HEATMAP)
         post = bool(cfg.TEST.POST_PROCESS)
         model, multi = self.model, self._multi
@@ -182,7 +183,13 @@ class Predictor:
         produced each crop).  Returns (preds (N, J, 2), maxvals (N, J))
         as numpy, in the source-image coordinate frame.
         """
-        crops = np.ascontiguousarray(crops, dtype=np.uint8)
+        crops = np.asarray(crops)
+        if crops.dtype != np.uint8:
+            raise ValueError(
+                f"crops must be uint8 in [0, 255]; got dtype {crops.dtype} "
+                f"(float crops are NOT rescaled — convert explicitly, e.g. "
+                f"np.clip(x * 255, 0, 255).astype(np.uint8))")
+        crops = np.ascontiguousarray(crops)
         n = crops.shape[0]
         if crops.shape[1] != self.image_size[1] or \
                 crops.shape[2] != self.image_size[0]:
