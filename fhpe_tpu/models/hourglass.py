@@ -179,7 +179,7 @@ class HourglassNet(nn.Module):
             # after it, so these biases are live parameters.
             score = Conv(self.num_joints, kernel=1, use_bias=True,
                          dtype=self.dtype, name=f"score{i}")(y)
-            outs.append(score.astype(jnp.float32))
+            outs.append(score.astype(jnp.promote_types(jnp.float32, self.dtype)))
             if i < self.num_stacks - 1:
                 fc_ = Conv(ch, kernel=1, use_bias=b, dtype=self.dtype,
                            name=f"fc_{i}")(y)

@@ -115,7 +115,7 @@ class PoseResNet(nn.Module):
         out = Conv(self.num_joints, self.final_conv_kernel, padding=pad,
                    use_bias=True, torch_init=False, dtype=self.dtype,
                    name="final_layer")(x)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.promote_types(jnp.float32, self.dtype))
 
 
 def get_pose_net(cfg, dtype=jnp.bfloat16) -> PoseResNet:

@@ -41,10 +41,20 @@ class TrainState(struct.PyTreeNode):
 
 
 def lr_for_epoch(cfg, epoch: int) -> float:
-    """LR_FACTOR ** (#LR_STEP milestones <= epoch) * LR."""
+    """LR * LR_FACTOR ** (#LR_STEP milestones <= epoch + 1).
+
+    The ``+ 1`` is the reference's effective (historically accidental)
+    schedule: MultiStepLR's constructor performs an initial ``step()`` and
+    ``tools/train.py:209-210`` steps again at the top of EVERY epoch
+    including the first, so by the time epoch ``e`` trains the scheduler's
+    ``last_epoch`` is ``e + 1`` — a milestone at epoch ``m`` takes effect
+    from trained epoch ``m - 1``.  Verified empirically against torch
+    (both the 2.x recursive and the closed-form semantics agree) and
+    pinned end-to-end by tests/test_trajectory_parity.py.
+    """
     steps = sorted(cfg.TRAIN.LR_STEP)
     return float(cfg.TRAIN.LR) * float(cfg.TRAIN.LR_FACTOR) ** bisect.bisect_right(
-        steps, epoch)
+        steps, epoch + 1)
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:

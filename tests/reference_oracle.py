@@ -25,6 +25,20 @@ def install():
     if REF_LIB not in sys.path:
         sys.path.insert(0, REF_LIB)
     sys.modules.setdefault("json_tricks", _json)
+    if "torchvision" not in sys.modules:
+        # utils/vis.py imports torchvision only for make_grid in the
+        # DEBUG.* image dumps, which oracle runs keep disabled.
+        tv = _types.ModuleType("torchvision")
+        tvu = _types.ModuleType("torchvision.utils")
+
+        def _no_grid(*a, **k):
+            raise RuntimeError("torchvision stub: DEBUG image dumps are "
+                               "not available in oracle runs")
+
+        tvu.make_grid = _no_grid
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
     for name, attr in (("nms.cpu_nms", "cpu_nms"), ("nms.gpu_nms", "gpu_nms")):
         if name not in sys.modules:
             m = _types.ModuleType(name)

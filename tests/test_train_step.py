@@ -94,11 +94,16 @@ def test_lr_schedule():
     cfg.TRAIN.LR = 0.001
     cfg.TRAIN.LR_STEP = [90, 110]
     cfg.TRAIN.LR_FACTOR = 0.1
+    # The reference's effective schedule is shifted one epoch EARLY: the
+    # MultiStepLR constructor's initial step plus the step() at the top of
+    # every epoch (tools/train.py:209-210) mean a milestone at epoch m
+    # kicks in from trained epoch m-1 (see lr_for_epoch docstring;
+    # trajectory-pinned in test_trajectory_parity.py).
     assert lr_for_epoch(cfg, 0) == pytest.approx(1e-3)
-    assert lr_for_epoch(cfg, 89) == pytest.approx(1e-3)
-    assert lr_for_epoch(cfg, 90) == pytest.approx(1e-4)
-    assert lr_for_epoch(cfg, 109) == pytest.approx(1e-4)
-    assert lr_for_epoch(cfg, 110) == pytest.approx(1e-5)
+    assert lr_for_epoch(cfg, 88) == pytest.approx(1e-3)
+    assert lr_for_epoch(cfg, 89) == pytest.approx(1e-4)
+    assert lr_for_epoch(cfg, 108) == pytest.approx(1e-4)
+    assert lr_for_epoch(cfg, 109) == pytest.approx(1e-5)
     assert lr_for_epoch(cfg, 139) == pytest.approx(1e-5)
 
 
