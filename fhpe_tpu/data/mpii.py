@@ -83,12 +83,37 @@ def build_db(root: str, image_set: str, data_format: str = "jpg",
     return gt_db
 
 
+# PCKh protocol constants (the MPII matlab toolkit convention the reference
+# transcribes, mpii.py:109-194): distances normalize by 0.6x the headbox
+# diagonal; pelvis and thorax (gt-order indices 6, 7) are excluded from the
+# mean; the "@0.1" summary actually reads the 0.11 bin of the PCK curve —
+# index 11 of arange(0, 0.51, 0.01) — a published-code quirk we preserve
+# because the README numbers (BASELINE.md) were produced with it.
+PCKH_HEADSIZE_BIAS = 0.6
+PCKH_THRESHOLD = 0.5
+PCKH_EXCLUDED = (6, 7)          # pelvis, thorax
+PCKH_AT_01_BIN = 11
+
+# named summary rows -> joints averaged into each (left/right pairs)
+PCKH_SUMMARY_GROUPS = [
+    ("Head", ("head",)),
+    ("Shoulder", ("lsho", "rsho")),
+    ("Elbow", ("lelb", "relb")),
+    ("Wrist", ("lwri", "rwri")),
+    ("Hip", ("lhip", "rhip")),
+    ("Knee", ("lkne", "rkne")),
+    ("Ankle", ("lank", "rank")),
+]
+
+
 def evaluate(cfg, preds, output_dir: str | None = None):
-    """PCKh evaluation against gt_<TEST_SET>.mat (mpii.py:109-194).
+    """PCKh evaluation against ``gt_<TEST_SET>.mat``.
 
     preds: (N, J, >=2) predicted joint locations in original image coords,
-    0-based; converted to 1-based to match the matlab gt.
-    Returns (OrderedDict of named metrics, Mean PCKh@0.5).
+    0-based; converted to 1-based to match the matlab gt.  Returns
+    (OrderedDict of named metrics, Mean PCKh@0.5).  Output is pinned
+    bit-identical to the reference's transcription of the MPII toolkit
+    (``lib/dataset/mpii.py:109-194``) by tests/test_mpii_eval_golden.py.
     """
     from scipy.io import loadmat, savemat
 
@@ -100,53 +125,46 @@ def evaluate(cfg, preds, output_dir: str | None = None):
     if "test" in cfg.DATASET.TEST_SET:
         return OrderedDict([("Null", 0.0)]), 0.0
 
-    sc_bias = 0.6
-    threshold = 0.5
+    gt = loadmat(os.path.join(cfg.DATASET.ROOT, "annot",
+                              f"gt_{cfg.DATASET.TEST_SET}.mat"))
 
-    gt_file = os.path.join(cfg.DATASET.ROOT, "annot",
-                           f"gt_{cfg.DATASET.TEST_SET}.mat")
-    gt = loadmat(gt_file)
-    dataset_joints = gt["dataset_joints"]
-    jnt_missing = gt["jnt_missing"]
-    pos_gt_src = gt["pos_gt_src"]
-    headboxes_src = gt["headboxes_src"]
+    # the .mat arrays arrive joint-major: pos_gt_src (J, 2, N),
+    # jnt_missing (J, N), headboxes_src (2 corners, 2, N)
+    gt_xy = gt["pos_gt_src"]
+    visible = 1 - gt["jnt_missing"]                        # (J, N)
+    boxes = gt["headboxes_src"]
 
-    pos_pred_src = np.transpose(preds, [1, 2, 0])
+    norm_dist = (np.linalg.norm(boxes[1] - boxes[0], axis=0)
+                 * PCKH_HEADSIZE_BIAS)                     # (N,) per sample
+    pred_xy = np.transpose(preds, (1, 2, 0))               # -> (J, 2, N)
+    # normalized radial error, zeroed where the gt joint is missing
+    err = (np.linalg.norm(pred_xy - gt_xy, axis=1)
+           / (norm_dist * np.ones((len(visible), 1)))) * visible  # (J, N)
+    count = np.sum(visible, axis=1)                        # (J,) visible N
 
-    def jid(name):
-        return np.where(dataset_joints == name)[1][0]
+    def pck_at(threshold):
+        hits = ((err <= threshold) * visible).sum(axis=1)
+        return (100.0 * hits) / count                      # (J,) percent
 
-    jnt_visible = 1 - jnt_missing
-    uv_err = np.linalg.norm(pos_pred_src - pos_gt_src, axis=1)
-    headsizes = headboxes_src[1, :, :] - headboxes_src[0, :, :]
-    headsizes = np.linalg.norm(headsizes, axis=0) * sc_bias
-    scale = headsizes * np.ones((len(uv_err), 1))
-    scaled_uv_err = (uv_err / scale) * jnt_visible
-    jnt_count = np.sum(jnt_visible, axis=1)
-    less = (scaled_uv_err <= threshold) * jnt_visible
-    pckh = 100.0 * np.sum(less, axis=1) / jnt_count
+    pckh = pck_at(PCKH_THRESHOLD)
+    curve_bins = np.arange(0, PCKH_THRESHOLD + 0.01, 0.01)
+    pck_curve = np.stack([pck_at(t) for t in curve_bins])  # (bins, J)
 
-    rng = np.arange(0, 0.5 + 0.01, 0.01)
-    pck_all = np.zeros((len(rng), 16))
-    for r, thr in enumerate(rng):
-        less = (scaled_uv_err <= thr) * jnt_visible
-        pck_all[r, :] = 100.0 * np.sum(less, axis=1) / jnt_count
+    # mean weights: visible-count share among the included joints only
+    included = np.ones(len(count), dtype=bool)
+    included[list(PCKH_EXCLUDED)] = False
+    ratio = np.where(included, count, 0.0)
+    ratio = ratio / np.float64(ratio.sum())
 
-    pckh = np.ma.array(pckh, mask=False)
-    pckh.mask[6:8] = True  # mask pelvis/thorax out of the mean
-    jnt_count = np.ma.array(jnt_count, mask=False)
-    jnt_count.mask[6:8] = True
-    jnt_ratio = jnt_count / np.sum(jnt_count).astype(np.float64)
+    def joint_index(name):
+        # elementwise == handles both flat and nested .mat cell storage
+        return np.where(gt["dataset_joints"] == name)[1][0]
 
-    name_value = OrderedDict([
-        ("Head", pckh[jid("head")]),
-        ("Shoulder", 0.5 * (pckh[jid("lsho")] + pckh[jid("rsho")])),
-        ("Elbow", 0.5 * (pckh[jid("lelb")] + pckh[jid("relb")])),
-        ("Wrist", 0.5 * (pckh[jid("lwri")] + pckh[jid("rwri")])),
-        ("Hip", 0.5 * (pckh[jid("lhip")] + pckh[jid("rhip")])),
-        ("Knee", 0.5 * (pckh[jid("lkne")] + pckh[jid("rkne")])),
-        ("Ankle", 0.5 * (pckh[jid("lank")] + pckh[jid("rank")])),
-        ("Mean", np.sum(pckh * jnt_ratio)),
-        ("Mean@0.1", np.sum(pck_all[11, :] * jnt_ratio)),
-    ])
+    name_value = OrderedDict()
+    for label, names in PCKH_SUMMARY_GROUPS:
+        vals = [pckh[joint_index(n)] for n in names]
+        name_value[label] = (vals[0] if len(vals) == 1
+                             else 0.5 * (vals[0] + vals[1]))
+    name_value["Mean"] = np.sum(pckh * ratio)
+    name_value["Mean@0.1"] = np.sum(pck_curve[PCKH_AT_01_BIN] * ratio)
     return name_value, name_value["Mean"]
