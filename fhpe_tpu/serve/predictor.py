@@ -143,6 +143,9 @@ class Predictor:
             check_vma=False,
         ))
         self._sharding = batch_sharding(self.mesh)
+        # chunks allowed in flight before results are drained (2 = classic
+        # double buffering; each holds one padded global batch on device)
+        self.max_in_flight = 2
 
     # -- construction ------------------------------------------------
 
@@ -199,9 +202,10 @@ class Predictor:
         inv = make_inverse_transforms(np.asarray(centers),
                                       np.asarray(scales),
                                       self.heatmap_size).astype(np.float32)
-        preds_out, vals_out = [], []
         b = self.batch_size
-        for lo in range(0, n, b):
+
+        def prep(lo):
+            """Host pad + H2D of one chunk (runs on the prefetch thread)."""
             hi = min(lo + b, n)
             pad = b - (hi - lo)
             img = crops[lo:hi]
@@ -214,9 +218,35 @@ class Predictor:
             dev = jax.device_put({"image": jnp.asarray(img),
                                   "inv_trans": jnp.asarray(itr)},
                                  self._sharding)
-            out = self._step(self.variables, dev)
-            preds_out.append(np.asarray(out["preds"])[:hi - lo])
-            vals_out.append(np.asarray(out["maxvals"])[:hi - lo])
+            return hi - lo, dev
+
+        # Double-buffered pipeline: while the device computes chunk k, the
+        # prefetch thread pads + uploads chunk k+1 and the main thread
+        # drains chunk k-1's results, so host prep / H2D / compute / D2H
+        # overlap instead of running strictly serially (round-3 measured
+        # the serial loop at <20% of device-step throughput).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        preds_out, vals_out = [], []
+        pending = deque()
+
+        def drain_one():
+            cnt, out = pending.popleft()
+            preds_out.append(np.asarray(out["preds"])[:cnt])
+            vals_out.append(np.asarray(out["maxvals"])[:cnt])
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(prep, 0)
+            for lo in range(0, n, b):
+                cnt, dev = nxt.result()
+                if lo + b < n:
+                    nxt = ex.submit(prep, lo + b)
+                pending.append((cnt, self._step(self.variables, dev)))
+                while len(pending) > self.max_in_flight:
+                    drain_one()
+            while pending:
+                drain_one()
         return np.concatenate(preds_out), np.concatenate(vals_out)
 
     def crop(self, image: np.ndarray, center, scale) -> np.ndarray:
