@@ -95,6 +95,17 @@ class Conv(nn.Module):
         )(x)
 
 
+def _batch_var(x32, mean, red):
+    """Biased batch variance, TWO-PASS (mean of squared deviations —
+    torch's algorithm).  flax's one-pass E[x^2]-E[x]^2 loses ~3 decimal
+    digits to cancellation on post-ReLU activations (mean >> std), which
+    Adam's g/|g| first-step normalization amplifies into visible
+    trajectory divergence: measured 2.5e-3 forward error one-pass vs 1e-6
+    two-pass on the parity rig (tests/test_trajectory_parity.py).  Module-
+    level so scripts/probe/bn_var_ab.py can A/B the one-pass form."""
+    return jnp.mean(jnp.square(x32 - mean), red)
+
+
 class _TorchBatchNorm(nn.Module):
     """Inner BN with full torch ``_BatchNorm`` train-mode semantics.
 
@@ -125,13 +136,7 @@ class _TorchBatchNorm(nn.Module):
         if train:
             red = tuple(range(x32.ndim - 1))
             mean = jnp.mean(x32, red)
-            # biased batch variance, TWO-PASS (mean of squared deviations,
-            # torch's algorithm).  flax's one-pass E[x^2]-E[x]^2 loses
-            # ~3 decimal digits to cancellation on post-ReLU activations
-            # (mean >> std), which Adam's g/|g| first-step normalization
-            # amplifies into visible trajectory divergence; measured 2.5e-3
-            # forward error one-pass vs 1e-6 two-pass on the parity rig.
-            var = jnp.mean(jnp.square(x32 - mean), red)
+            var = _batch_var(x32, mean, red)
             if not self.is_initializing():
                 n = 1
                 for a in red:
