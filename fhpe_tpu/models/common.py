@@ -95,14 +95,27 @@ class Conv(nn.Module):
         )(x)
 
 
-def _batch_var(x32, mean, red):
-    """Biased batch variance, TWO-PASS (mean of squared deviations —
-    torch's algorithm).  flax's one-pass E[x^2]-E[x]^2 loses ~3 decimal
-    digits to cancellation on post-ReLU activations (mean >> std), which
-    Adam's g/|g| first-step normalization amplifies into visible
-    trajectory divergence: measured 2.5e-3 forward error one-pass vs 1e-6
-    two-pass on the parity rig (tests/test_trajectory_parity.py).  Module-
-    level so scripts/probe/bn_var_ab.py can A/B the one-pass form."""
+def _batch_var(x32, mean, red, input_dtype=None):
+    """Biased batch variance; algorithm chosen by the COMPUTE precision.
+
+    * float32/float64 compute (parity paths, f32 production runs):
+      TWO-PASS (mean of squared deviations — torch's algorithm).  The
+      one-pass E[x^2]-E[x]^2 loses ~3 decimal digits to cancellation on
+      post-ReLU activations (mean >> std), which Adam's g/|g| first-step
+      normalization amplifies into visible trajectory divergence:
+      measured 2.5e-3 forward error one-pass vs 1e-6 two-pass
+      (tests/test_trajectory_parity.py).
+    * bfloat16 inputs upcast to f32: ONE-PASS.  The cancellation error
+      (~1e-6 relative here) sits four orders below bf16's own 1e-2
+      rounding noise, and the extra activation pass of the two-pass form
+      costs ~6% of the flagship hourglass step on v5e (744.6 -> 695.6
+      img/s/chip, BENCH_r04 vs r03; scripts/probe/bn_var_ab.py).
+
+    Module-level so the probe can monkeypatch either form.
+    """
+    if input_dtype is not None and jnp.dtype(input_dtype).itemsize < 4:
+        return jnp.maximum(
+            jnp.mean(jnp.square(x32), red) - jnp.square(mean), 0.0)
     return jnp.mean(jnp.square(x32 - mean), red)
 
 
@@ -136,7 +149,7 @@ class _TorchBatchNorm(nn.Module):
         if train:
             red = tuple(range(x32.ndim - 1))
             mean = jnp.mean(x32, red)
-            var = _batch_var(x32, mean, red)
+            var = _batch_var(x32, mean, red, input_dtype=x.dtype)
             if not self.is_initializing():
                 n = 1
                 for a in red:

@@ -34,10 +34,11 @@ def bench(two_pass: bool) -> float:
 
     if two_pass:
         common._batch_var = (
-            lambda x32, mean, red: jnp.mean(jnp.square(x32 - mean), red))
+            lambda x32, mean, red, input_dtype=None:
+            jnp.mean(jnp.square(x32 - mean), red))
     else:
         common._batch_var = (
-            lambda x32, mean, red: jnp.maximum(
+            lambda x32, mean, red, input_dtype=None: jnp.maximum(
                 jnp.mean(jnp.square(x32), red) - jnp.square(mean), 0.0))
 
     def cfg_for(stacks, feats):

@@ -36,10 +36,12 @@ def bench(fused: bool) -> float:
 
     cfg = load_config(
         "/root/repo/experiments/coco/hrnet/w32_256x192_adam_lr1e-3.yaml")
+    cfg.defrost()
     cfg.TPU.FUSED_EVAL = fused
     cfg.TEST.FLIP_TEST = True
     cfg.TEST.SHIFT_HEATMAP = True
     cfg.TEST.POST_PROCESS = True
+    cfg.freeze()
 
     n = len(jax.devices())
     mesh = get_mesh(n)
