@@ -74,11 +74,6 @@ def _base() -> CfgNode:
     # passes in the backward.  Checkpoints taken under the knob are
     # self-consistent but not interchangeable with the default tree.
     c.TPU.DEAD_BIAS_SKIP = False
-    # Opt-in: eval-mode HRNet branch chains run as single Pallas kernels
-    # (ops/fused_block.py) instead of per-op XLA — activations stay in
-    # VMEM across the 8 convs of a branch.  Eval-only (the kernel has no
-    # VJP); training always uses the unfused path.
-    c.TPU.FUSED_EVAL = False
     # Opt-in: native C++ host image path (ops/cpp/imagedec.cpp via
     # ops/native_image.py).  NATIVE_DECODE decodes JPEGs with libjpeg
     # directly (bit-identical to cv2.imread, no Python/cv2 overhead);

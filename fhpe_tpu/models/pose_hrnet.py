@@ -152,17 +152,15 @@ class HighResolutionModule(nn.Module):
     in_channels: Sequence[int]
     multi_scale_output: bool = True
     dtype: Any = jnp.bfloat16
-    fused_eval: bool = False      # cfg.TPU.FUSED_EVAL: Pallas fused chains
-
     def _branch(self, i: int, train: bool):
-        """BranchChain, or its fused drop-in (identical variable tree) for
-        eval-mode identity BASIC chains when TPU.FUSED_EVAL is set."""
-        exp = BLOCKS[self.block].expansion
-        if (self.fused_eval and not train and self.block == "BASIC"
-                and self.in_channels[i] == self.num_channels[i] * exp):
-            from ..ops.fused_block import FusedBranchChain
-            return FusedBranchChain(self.num_channels[i], self.num_blocks[i],
-                                    dtype=self.dtype, name=f"branch{i}")
+        # Round-4 note: a Pallas "fused branch chain" eval drop-in lived
+        # here behind TPU.FUSED_EVAL through round 3.  It measured 14x
+        # slower than XLA's fused forward at kernel level (BENCH_NOTES
+        # round 2) and the model-level A/B could not even compile W32
+        # through the AOT helper (scripts/probe/fused_eval_ab.py, round
+        # 4) while the unfused flip-test eval already runs 2,144
+        # img/s/chip — the knob was deleted; the kernels remain as probe
+        # infrastructure under scripts/probe/fused_block/.
         return BranchChain(self.block, self.num_channels[i],
                            self.num_blocks[i], self.in_channels[i],
                            dtype=self.dtype, name=f"branch{i}")
@@ -240,7 +238,6 @@ class PoseHighResolutionNet(nn.Module):
     num_joints: int = 17
     final_conv_kernel: int = 1
     dtype: Any = jnp.bfloat16
-    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -269,7 +266,6 @@ class PoseHighResolutionNet(nn.Module):
                     scfg["BLOCK"], tuple(scfg["NUM_BLOCKS"]),
                     tuple(scfg["NUM_CHANNELS"]), tuple(cur),
                     multi_scale_output=mso, dtype=self.dtype,
-                    fused_eval=self.fused_eval,
                     name=f"stage{si}_m{m}")(xs, train)
             prev = cur
 
@@ -289,5 +285,4 @@ def get_pose_net(cfg, dtype=jnp.bfloat16) -> PoseHighResolutionNet:
         num_joints=cfg.MODEL.NUM_JOINTS,
         final_conv_kernel=extra.FINAL_CONV_KERNEL,
         dtype=dtype,
-        fused_eval=bool(cfg.TPU.get("FUSED_EVAL", False)),
     )

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..models.common import BN_EPS, BN_MOMENTUM, normal001
+from fhpe_tpu.models.common import BN_EPS, BN_MOMENTUM, normal001
 
 # ---------------------------------------------------------------------------
 # Parameter plumbing
@@ -164,7 +164,7 @@ def _eligible(x, num_blocks: int) -> bool:
     """Trace-time gating: TPU backend, BASIC-chain shapes that fit the
     kernel's VMEM plan, lane-friendly W, per-device batch divisible by the
     batch tile."""
-    from .fused_block_kernels import kernel_eligible
+    from fused_block_kernels import kernel_eligible
 
     platform = jax.default_backend()
     if platform not in ("tpu", "axon"):
@@ -187,7 +187,7 @@ def chain_fused(x, params_list, stats_list, train: bool,
     if not use_pallas:
         return chain_reference(x, params_list, stats_list, train, dtype)
 
-    from .fused_block_kernels import chain_pallas
+    from fused_block_kernels import chain_pallas
     return chain_pallas(x, params_list, stats_list, train, dtype)
 
 

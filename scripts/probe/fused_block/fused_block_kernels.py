@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.common import BN_EPS
+from fhpe_tpu.models.common import BN_EPS
 
 VMEM_BUDGET = 110 * 1024 * 1024
 VMEM_LIMIT = 120 * 1024 * 1024
@@ -281,7 +281,7 @@ def chain_pallas_eval(x, wmats, scales, biases, nb, g, dtype,
 
 
 def _pack(params_list, stats_list, g, dtype, train):
-    from .fused_block import _unpack
+    from fused_block import _unpack
 
     wm, gam, bet, scl, bia, run = [], [], [], [], [], []
     for p, s in zip(params_list, stats_list):
@@ -306,7 +306,7 @@ def chain_pallas(x, params_list, stats_list, train, dtype=jnp.bfloat16,
                  interpret=False):
     """Group-pack x, run the fused chain, unpack; returns (y, new_stats)
     with the same contract as fused_block.chain_reference."""
-    from ..models.common import BN_MOMENTUM
+    from fhpe_tpu.models.common import BN_MOMENTUM
 
     b, h, w, c = x.shape
     g = _group_width(c)
