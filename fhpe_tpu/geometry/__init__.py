@@ -1,6 +1,7 @@
 from .affine import (
     get_affine_transform,
     affine_transform,
+    crop,
     transform_preds,
     transform_preds_batch,
 )
@@ -10,6 +11,7 @@ from .targets import generate_target_np, generate_target_jax
 __all__ = [
     "get_affine_transform",
     "affine_transform",
+    "crop",
     "transform_preds",
     "transform_preds_batch",
     "flip_back",

@@ -122,6 +122,26 @@ def transform_preds(coords, center, scale, output_size) -> np.ndarray:
     return out
 
 
+def crop(img, center, scale, output_size, rot=0) -> np.ndarray:
+    """Crop a (center, scale, rot) person box to ``output_size`` pixels.
+
+    Standalone equivalent of the reference's ``crop()`` helper
+    (``lib/utils/transforms.py:113-121``): build the box->output affine and
+    bilinear-warp the image (cv2 INTER_LINEAR semantics, constant-0
+    border).  Prefers cv2; uint8 images fall back to the bit-parity native
+    warp (``ops/cpp/imagedec.cpp``) when cv2 is unavailable.
+    """
+    trans = get_affine_transform(center, scale, rot, output_size)
+    dsize = (int(output_size[0]), int(output_size[1]))
+    try:
+        import cv2
+        return cv2.warpAffine(img, trans, dsize, flags=cv2.INTER_LINEAR)
+    except ImportError:
+        from ..ops.native_image import warp_affine_native
+        return warp_affine_native(np.ascontiguousarray(img, np.uint8),
+                                  trans, dsize)
+
+
 def transform_preds_batch(coords, centers, scales, output_size) -> np.ndarray:
     """Batched transform_preds: coords (N, J, 2), centers/scales (N, 2)."""
     coords = np.asarray(coords, dtype=np.float64)

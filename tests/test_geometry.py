@@ -150,3 +150,23 @@ def test_generate_target_weight_boundary():
     assert w[0, 0] == 0.0
     assert float(wj[0]) == 0.0
     assert t.sum() == 0.0 and float(np.asarray(tj).sum()) == 0.0
+
+
+def test_crop_matches_reference_helper():
+    """geometry.crop == the reference's standalone crop()
+    (lib/utils/transforms.py:113-121): same transform, same warp flags."""
+    from fhpe_tpu.geometry import crop
+
+    import reference_oracle
+    reference_oracle.install()
+    from utils.transforms import crop as ref_crop
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (320, 280, 3), dtype=np.uint8)
+    for rot in (0, 30, -45):
+        center = np.array([140.0 + rng.randn(), 160.0 + rng.randn()])
+        scale = np.array([1.1, 1.1])
+        ours = crop(img, center, scale, (192, 256), rot=rot)
+        ref = ref_crop(img, center, scale, np.array([192, 256]), rot=rot)
+        assert ours.shape == ref.shape == (256, 192, 3)
+        np.testing.assert_array_equal(ours, ref)
