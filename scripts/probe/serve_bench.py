@@ -91,8 +91,26 @@ def main():
     for _ in range(10):
         p.predict_crops(crops, centers, scales)
     req_s = (time.time() - t0) / 10
-    print(f"request API: {req_s * 1e3:.2f} ms/batch  "
+    print(f"request API (1 chunk): {req_s * 1e3:.2f} ms/batch  "
           f"{args.batch / req_s:.1f} img/s", flush=True)
+
+    # multi-chunk request: 8 compiled batches per call — exercises the
+    # double-buffered pipeline (prefetch thread pads+uploads chunk k+1
+    # while the device computes chunk k and the host drains k-1).
+    k = 8
+    big = np.broadcast_to(crops, (k,) + crops.shape).reshape(
+        (k * args.batch,) + crops.shape[1:]).copy()
+    bc = np.tile(centers, (k, 1))
+    bs = np.tile(scales, (k, 1))
+    p.predict_crops(big, bc, bs)
+    t0 = time.time()
+    for _ in range(3):
+        p.predict_crops(big, bc, bs)
+    multi_s = (time.time() - t0) / 3
+    rate = k * args.batch / multi_s
+    print(f"request API ({k} chunks): {multi_s * 1e3:.2f} ms/req  "
+          f"{rate:.1f} img/s  ({rate * step_s / args.batch * 100:.0f}% of "
+          f"device-step)", flush=True)
 
 
 if __name__ == "__main__":
