@@ -463,3 +463,67 @@ def test_long_trajectory_envelope_hourglass(cpu_cuda_patch):
 
     np.testing.assert_allclose(lrs, ref_lrs, rtol=1e-12)
     _assert_curves_envelope(losses, ref_losses, "hourglass long train loss")
+
+
+def _hrnet_tiny_pair(seed, sched):
+    """Tiny 3-stage HRNet (2/3-branch, 1 block, 8-32ch): exercises the
+    transition layers, fuse up/down paths, and multi_scale_output=False."""
+    import models.pose_hrnet as ref_hr
+
+    class DCfg(dict):
+        __getattr__ = dict.__getitem__
+
+    def wrap(d):
+        return (DCfg({k: wrap(v) for k, v in d.items()})
+                if isinstance(d, dict) else d)
+
+    stages = {
+        "STAGE2": dict(NUM_MODULES=1, NUM_BRANCHES=2, NUM_BLOCKS=[1, 1],
+                       NUM_CHANNELS=[8, 16], BLOCK="BASIC",
+                       FUSE_METHOD="SUM"),
+        "STAGE3": dict(NUM_MODULES=1, NUM_BRANCHES=3, NUM_BLOCKS=[1, 1, 1],
+                       NUM_CHANNELS=[8, 16, 32], BLOCK="BASIC",
+                       FUSE_METHOD="SUM"),
+        "STAGE4": dict(NUM_MODULES=1, NUM_BRANCHES=4,
+                       NUM_BLOCKS=[1, 1, 1, 1],
+                       NUM_CHANNELS=[8, 16, 32, 64], BLOCK="BASIC",
+                       FUSE_METHOD="SUM"),
+    }
+    rcfg = wrap({"MODEL": {"EXTRA": dict(FINAL_CONV_KERNEL=1,
+                                         PRETRAINED_LAYERS=["*"], **stages),
+                           "NUM_JOINTS": J}})
+    torch.manual_seed(seed)
+    ref_model = ref_hr.PoseHighResolutionNet(rcfg).double()
+
+    cfg = _our_cfg("pose_hrnet", {}, sched)
+    cfg.MODEL.EXTRA.FINAL_CONV_KERNEL = 1
+    for name, s in stages.items():
+        node = cfg.MODEL.EXTRA[name]
+        for k, v in s.items():
+            setattr(node, k, v)
+    model = get_pose_net(cfg, dtype=jnp.float64)
+    return ref_model, cfg, model
+
+
+@pytest.mark.slow
+def test_short_trajectory_hrnet(cpu_cuda_patch):
+    """Tiny HRNet, 4 steps over an LR milestone: the COCO flagship family's
+    transition/fuse/upsample paths under joint optimizer+BN dynamics."""
+    sched = SHORT
+    ref_model, cfg, model = _hrnet_tiny_pair(5, sched)
+    sd0 = _sd_numpy(ref_model)
+    batches = _make_batches(sched["epochs"] * sched["steps"], seed=14)
+
+    ref_calls, ref_lrs = _run_reference_train(ref_model, batches, sched)
+
+    state, losses, _, _, lrs = _run_ours(cfg, model, sd0, batches, sched,
+                                         multi=False)
+
+    np.testing.assert_allclose(lrs, ref_lrs, rtol=1e-12)
+    _assert_curves_tight(losses, ref_calls, "hrnet short train loss")
+
+    final = import_for_model(cfg, _sd_numpy(ref_model))
+    _compare_trees(state.params, final["params"], PARAM_ATOL,
+                   "hrnet final params")
+    _compare_trees(state.batch_stats, final["batch_stats"], STAT_ATOL,
+                   "hrnet final BN stats")
