@@ -33,10 +33,12 @@ WARMUP, N1, N2 = 3, 10, 40
 
 
 def conv1x1(x, w):
+    # bf16 in / bf16 out, like the model's flax Conv (MXU accumulates in
+    # f32 internally either way; preferred_element_type=f32 would break
+    # the conv transpose rule under jax.grad with mixed dtypes).
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def make_inputs(rs):
@@ -55,7 +57,7 @@ def fuse_separate(xs, ws_sep):
     outs = []
     for j, ws in enumerate(ws_sep):
         for w in ws:
-            outs.append(jnp.sum(conv1x1(xs[j], w)))
+            outs.append(jnp.sum(conv1x1(xs[j], w).astype(jnp.float32)))
     return jnp.stack(outs).sum()
 
 
@@ -69,7 +71,7 @@ def fuse_merged(xs, ws_merged):
         lo = 0
         for i in range(j):
             ci = SHAPES[i][2]
-            outs.append(jnp.sum(y[..., lo:lo + ci]))
+            outs.append(jnp.sum(y[..., lo:lo + ci].astype(jnp.float32)))
             lo += ci
     return jnp.stack(outs).sum()
 
