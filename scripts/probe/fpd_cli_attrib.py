@@ -95,16 +95,22 @@ def main():
         t = time.perf_counter() - t0
         print(f"loader epoch{ep}: {rate(n, t):.1f} samples/s", flush=True)
 
-    # h2d: loader + device transfer, no compute (touch one element)
+    # h2d: loader + device transfer, no compute (touch one element).
+    # Hold every device batch alive until the end: dropping a still-in-
+    # flight buffer deletes it through the relay mid-transfer, which
+    # measured as low as 0.3 samples/s (first two runs of this probe) —
+    # an artifact no real consumer hits (compute always drains the batch
+    # before it is dropped).
     t0 = time.perf_counter()
     n = 0
-    last = None
+    held = []
     for dev, batch in prefetch_to_device(iter(loader), mesh, keys=keys):
         n += batch["joints"].shape[0]
-        last = dev
-    _ = np.asarray(jax.tree_util.tree_leaves(last)[0])[:1]
+        held.append(dev)
+    _ = np.asarray(jax.tree_util.tree_leaves(held[-1])[0])[:1]
     print(f"h2d: {rate(n, time.perf_counter() - t0):.1f} samples/s",
           flush=True)
+    held.clear()
 
     # step capacity: differenced chained steps on one cached device batch
     dev_batch = None

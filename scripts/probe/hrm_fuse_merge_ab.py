@@ -92,7 +92,11 @@ def timed(fn, xs, args):
         float(g[0].astype(jnp.float32).sum())
         return time.perf_counter() - t0
 
-    return (run(N2) - run(N1)) / (N2 - N1)
+    # min over trials: a transient relay stall inside one chained run is
+    # NOT cancelled by differencing and fabricates a huge per-step time
+    # (first run of this probe: 132 ms/step for six tiny 1x1 convs, 30x
+    # the whole-model fuse budget from the round-2 trace).
+    return min((run(N2) - run(N1)) / (N2 - N1) for _ in range(3))
 
 
 def main():
