@@ -173,24 +173,38 @@ def _timed_train(step_fn, state, extra_args, batch, jnp, tree_map):
 
 
 def _timed_eval(step_fn, variables, batch, jnp):
-    """Differenced chained eval timing; the fetched loss folds back into
-    the input image so each iteration depends on the previous fetch."""
+    """Differenced IN-JIT chained eval timing.
+
+    Eval steps are short (tens of ms), so python-level chaining lets
+    per-dispatch relay jitter ride the measurement (observed +-20%
+    run-to-run on hg8_eval).  The chain therefore runs inside one jit as
+    a ``lax.fori_loop`` with a DYNAMIC trip count (one compile, one
+    dispatch per measurement): each iteration folds the previous loss
+    back into the input image, so no iteration can be elided or hoisted,
+    and the final carry fetch forces the whole loop.
+    """
+    import jax
+    from jax import lax
+
+    img_dtype = batch["image"].dtype
+
+    @jax.jit
+    def chain(variables, batch, n):
+        def body(_, carry):
+            b = dict(batch)
+            b["image"] = batch["image"] + carry
+            out = step_fn(variables, b)
+            return out["loss"].astype(img_dtype) * 0
+        return lax.fori_loop(0, n, body, jnp.zeros((), img_dtype))
+
     def run(n):
-        b = dict(batch)
-        out = None
-        for _ in range(WARMUP):
-            out = step_fn(variables, b)
-        eps = out["loss"] * 0.0
         t0 = time.perf_counter()
-        for _ in range(n):
-            b["image"] = batch["image"] + eps
-            out = step_fn(variables, b)
-            eps = out["loss"] * 0.0
-        float(out["loss"])
+        float(chain(variables, batch, jnp.int32(n)))
         return time.perf_counter() - t0
 
+    run(WARMUP)  # compile + warm
     n1, n2 = ITERS, ITERS * 4
-    return (run(n2) - run(n1)) / (n2 - n1)
+    return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(2))
 
 
 def bench_fpd_hg(ctx):
