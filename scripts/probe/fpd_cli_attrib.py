@@ -135,6 +135,24 @@ def main():
     print(f"step: {per_step*1e3:.1f} ms -> "
           f"{rate(BATCH, per_step):.1f} samples/s", flush=True)
 
+    # discriminating legs: is the loop transfer/compute-SERIALIZED?
+    # loop_nometers: prefetch + step only (no meter pushes/drains).
+    # loop_depth4:   prefetch size=4 — if relay H2D overlaps compute,
+    #                extra depth closes the gap; if the relay serializes
+    #                transfers with compute on one stream, it cannot.
+    for label, depth in (("loop_nometers", 2), ("loop_depth4", 4)):
+        st = jax.tree_util.tree_map(jnp.array, state)
+        t0 = time.perf_counter()
+        n = 0
+        m = None
+        for dev, batch in prefetch_to_device(iter(loader), mesh,
+                                             size=depth, keys=keys):
+            st, m = step_fn(st, tvars, dev)
+            n += batch["joints"].shape[0]
+        float(m["loss"])
+        print(f"{label}: {rate(n, time.perf_counter() - t0):.1f} samples/s",
+              flush=True)
+
     # the actual CLI loop at two PRINT_FREQs
     for pf in (4, 100):
         st = jax.tree_util.tree_map(jnp.array, state)
