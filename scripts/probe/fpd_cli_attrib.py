@@ -107,9 +107,20 @@ def main():
     for dev, batch in prefetch_to_device(iter(loader), mesh, keys=keys):
         n += batch["joints"].shape[0]
         held.append(dev)
-    _ = np.asarray(jax.tree_util.tree_leaves(held[-1])[0])[:1]
-    print(f"h2d: {rate(n, time.perf_counter() - t0):.1f} samples/s",
-          flush=True)
+    t_iter = time.perf_counter() - t0
+    # completion split: tiny-leaf fetch first (forces transfer completion
+    # with a small D2H), then the full 12.6 MB image D2H separately —
+    # through this relay a first big D2H has measured in the minutes.
+    t1 = time.perf_counter()
+    float(np.asarray(held[-1]["joints"]).ravel()[0])
+    t_small = time.perf_counter() - t1
+    t1 = time.perf_counter()
+    _ = np.asarray(held[-1]["image"])
+    t_big = time.perf_counter() - t1
+    t = time.perf_counter() - t0
+    print(f"h2d: {rate(n, t):.1f} samples/s (iter {t_iter*1e3:.0f} ms, "
+          f"small-leaf completion {t_small*1e3:.0f} ms, "
+          f"12.6MB image D2H {t_big*1e3:.0f} ms)", flush=True)
     held.clear()
 
     # step capacity: differenced chained steps on one cached device batch
