@@ -67,9 +67,18 @@ def main():
     # differenced chained device-side runs: each rep re-consumes the
     # previous output's maxvals as a (broadcast) brightness bias so no
     # iteration can be hoisted; ended by a real value fetch.
+    # On the CPU backend, sync every step: deep async chains of
+    # multi-partition programs (the step + the .sum() all-reduce) can
+    # starve XLA:CPU's per-device rendezvous threads past its 40 s hard
+    # deadline (observed F-level aborts on the 1-core build box).  The
+    # relay-safe async chain is only needed on TPU.
+    sync_each = jax.default_backend() == "cpu"
+
     def chain(n):
         out = p._step(p.variables, dev)
         for _ in range(n - 1):
+            if sync_each:
+                jax.block_until_ready(out)
             bias = (out["maxvals"].sum() * 0).astype(jnp.uint8)
             d2 = dict(dev)
             d2["image"] = dev["image"] + bias
