@@ -50,6 +50,12 @@ import traceback
 
 import numpy as np
 
+# Persistent compile cache: first compiles of the big steps cost 5-15 min
+# each through the relay's remote-compile path; cached re-runs are
+# seconds.  Set before jax import so driver invocations (which may not
+# export it) reuse the cache this repo's probe runs already warmed.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 REFERENCE_TOTAL_IMGS_PER_SEC = 140.0   # documented estimate, see docstring
 NORTH_STAR_PER_CHIP = 2.0 * REFERENCE_TOTAL_IMGS_PER_SEC / 8.0
 
