@@ -19,6 +19,14 @@ BENCH_r*.json it can silently regress"):
                   (BASELINE #3; reference validate(), function.py:189-332).
 * hg8_eval      — hourglass teacher (s8/f256) MPII flip-test eval + decode
                   (BASELINE #2).
+* serve_w32     — the serving Predictor's device step (beyond-reference
+                  surface, serve/predictor.py): uint8 crops in ->
+                  on-device normalize -> W32 forward -> flip-test
+                  ensemble -> decode -> source-coordinate keypoints.
+                  Tracks the program the request API dispatches; the
+                  request-API wall number itself is relay-H2D transport
+                  bound on this box (BENCH_NOTES round-4) and is
+                  deliberately not driver-tracked.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -194,14 +202,19 @@ def _timed_eval(step_fn, variables, batch, jnp):
 
     img_dtype = batch["image"].dtype
 
+    # The carry must stay FLOAT: float x*0 cannot be constant-folded
+    # (NaN/Inf), so the loop body stays live.  An integer carry (uint8
+    # serving images) folds x*0 -> 0, the body goes dead, and the loop
+    # measures as constant time regardless of trip count (observed:
+    # negative differenced values on the serve workload).
     @jax.jit
     def chain(variables, batch, n):
         def body(_, carry):
             b = dict(batch)
-            b["image"] = batch["image"] + carry
+            b["image"] = batch["image"] + carry.astype(img_dtype)
             out = step_fn(variables, b)
-            return out["loss"].astype(img_dtype) * 0
-        return lax.fori_loop(0, n, body, jnp.zeros((), img_dtype))
+            return out["loss"].astype(jnp.float32) * 0
+        return lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     def run(n):
         t0 = time.perf_counter()
@@ -344,6 +357,47 @@ def bench_hg8_eval(ctx):
                        multi_output=True)
 
 
+def bench_serve_w32(ctx):
+    """Serving device step: the Predictor's full compiled program."""
+    import jax
+    import jax.numpy as jnp
+
+    from fhpe_tpu.models import get_pose_net
+    from fhpe_tpu.parallel.mesh import shard_batch
+    from fhpe_tpu.serve.predictor import Predictor
+
+    cfg = _coco_cfg("hrnet/w32_256x192_adam_lr1e-3.yaml")
+    cfg.defrost()
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.SHIFT_HEATMAP = True
+    cfg.TEST.POST_PROCESS = True
+    cfg.freeze()
+    model = get_pose_net(cfg, dtype=jnp.bfloat16)
+    sample = jnp.zeros((1, 256, 192, 3))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    b = BATCH * ctx["n"]
+    p = Predictor(cfg, variables, batch_size=b, n_devices=ctx["n"])
+
+    rs = np.random.RandomState(0)
+    inv = np.tile(np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32),
+                  (b, 1, 1))
+    inv[:, :, 2] = rs.rand(b, 2)
+    batch = shard_batch(p.mesh, {
+        "image": jnp.asarray(
+            rs.randint(0, 256, (b, 256, 192, 3)).astype(np.uint8)),
+        "inv_trans": jnp.asarray(inv),
+    })
+
+    # _timed_eval folds loss*0 back into the uint8 image each iteration, so
+    # the whole serve program (normalize included) re-runs per step.
+    def step(v, bt):
+        out = p._step(v, bt)
+        return {"loss": out["preds"].sum() + out["maxvals"].sum()}
+
+    per_step = _timed_eval(step, p.variables, batch, jnp)
+    return per_step, b
+
+
 WORKLOADS = [
     # (key, metric name, fn)
     ("fpd_hg",
@@ -364,6 +418,9 @@ WORKLOADS = [
     ("hg8_eval",
      "hourglass8_f256_mpii256_fliptest_eval_images_per_sec_per_chip",
      bench_hg8_eval),
+    ("serve_w32",
+     "serve_w32_coco256x192_fliptest_predict_device_step_images_per_sec_per_chip",
+     bench_serve_w32),
 ]
 
 
