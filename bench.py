@@ -46,7 +46,26 @@ N2 dependent steps, report (t2-t1)/(N2-N1)) — block_until_ready alone is
 unreliable through the relay, and differencing cancels the constant
 fetch/dispatch overhead.  Each workload's chain carries a data dependence
 (train: donated state; eval: the fetched loss folded back into the input)
-so no iteration can be elided or reordered.
+so no iteration can be elided or reordered.  Each leg is the MIN over
+``FHPE_BENCH_TRIALS`` (>=3) trials BEFORE differencing: a transient relay
+stall inflates one trial only, and min-per-leg discards it; min over
+*pairwise differences* would instead select the pair whose SHORT leg
+stalled (difference shrinks), i.e. an underestimate.
+
+Timeout-proofing (round-4 lesson: the driver killed the grid mid-run and
+recorded NO number): the cumulative result JSON line is printed after
+EVERY completed workload — the last JSON line in the tail is always the
+richest valid record — and ``FHPE_BENCH_BUDGET_S`` (default 3300 s) is a
+total wall-clock budget: when it runs low, remaining workloads are
+emitted as skipped and the final line goes out before any external axe
+falls.  ``FHPE_BENCH_RELAY_WAIT_S`` caps the pre-run device-health wait
+(counted against the budget).
+
+Each workload also reports ``analytic_flops_per_img`` (XLA cost_analysis
+on the unoptimized lowering of its whole step — forward+backward+optimizer
+for train, flip-test+decode for eval) and ``mfu_est`` = achieved
+FLOP/s / 197e12 (v5e bf16 peak), making the MFU-ceiling claims in
+docs/BENCH_NOTES.md regression-tracked numbers.
 """
 
 from __future__ import annotations
@@ -74,6 +93,23 @@ NORTH_STAR_PER_CHIP = 2.0 * REFERENCE_TOTAL_IMGS_PER_SEC / 8.0
 BATCH = int(os.environ.get("FHPE_BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("FHPE_BENCH_ITERS", "20"))
+TRIALS = max(3, int(os.environ.get("FHPE_BENCH_TRIALS", "3")))
+
+# Total wall-clock budget.  The round-4 driver invocation was killed
+# (rc=124) during the 7th workload and, because the single JSON line only
+# printed after ALL workloads, recorded nothing.  Now the cumulative line
+# prints after every workload AND the budget pre-empts the external
+# timeout: with less than _RESERVE_S left, remaining workloads are
+# reported as skipped and the final line still goes out.
+BUDGET_S = float(os.environ.get("FHPE_BENCH_BUDGET_S", "3300"))
+_RESERVE_S = 90.0
+_T0 = time.monotonic()
+
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+
+
+def _remaining_s() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def _wait_for_device(max_wait_s: float) -> None:
@@ -168,6 +204,18 @@ def _eval_batch(mesh, b, img_hw, joints, shard_batch, seed=0):
 # workloads — each returns (per_step_seconds, images_per_step)
 # ---------------------------------------------------------------------------
 
+def _min_leg(run, n):
+    """Min over TRIALS of one chained-run leg.
+
+    Min-per-leg BEFORE differencing: a transient relay stall only ever
+    ADDS time, so the min approaches the stall-free time of each leg and
+    the difference cancels the (min-consistent) constant overhead.  Taking
+    min over pairwise differences instead would prefer the pair whose
+    short leg stalled (the difference shrinks) — a silent underestimate.
+    """
+    return min(run(n) for _ in range(TRIALS))
+
+
 def _timed_train(step_fn, state, extra_args, batch, jnp, tree_map):
     """Differenced chained train-step timing (state carries dependence)."""
     def run(n):
@@ -183,7 +231,7 @@ def _timed_train(step_fn, state, extra_args, batch, jnp, tree_map):
         return time.perf_counter() - t0
 
     n1, n2 = ITERS, ITERS * 4
-    return (run(n2) - run(n1)) / (n2 - n1)
+    return (_min_leg(run, n2) - _min_leg(run, n1)) / (n2 - n1)
 
 
 def _timed_eval(step_fn, variables, batch, jnp):
@@ -223,7 +271,30 @@ def _timed_eval(step_fn, variables, batch, jnp):
 
     run(WARMUP)  # compile + warm
     n1, n2 = ITERS, ITERS * 4
-    return min((run(n2) - run(n1)) / (n2 - n1) for _ in range(2))
+    return (_min_leg(run, n2) - _min_leg(run, n1)) / (n2 - n1)
+
+
+def _step_flops(jitted, *args):
+    """Whole-step FLOPs from XLA cost_analysis on the unoptimized lowering.
+
+    Lowering is client-side (no relay round trip, no AOT compile — the
+    relay AOT path can SIGKILL, docs/BENCH_NOTES.md round 4).  The count is
+    the analytic FLOPs of the program as written (fusion may elide a little
+    of it), which is exactly what an MFU *estimate* wants.  Best-effort:
+    returns None rather than failing the workload.
+    """
+    import jax
+
+    try:
+        fn = jitted if hasattr(jitted, "lower") else jax.jit(jitted)
+        cost = fn.lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops") if cost else None
+        return float(f) if f and f > 0 else None
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        print(f"# bench: cost_analysis unavailable: {e!r}", flush=True)
+        return None
 
 
 def bench_fpd_hg(ctx):
@@ -256,9 +327,10 @@ def bench_fpd_hg(ctx):
                                teacher_cfg=tcfg)
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, (256, 256), 16, ctx["shard_batch"])
+    flops = _step_flops(step, state, tvars, batch)
     per_step = _timed_train(step, state, (tvars,), batch, jnp,
                             jax.tree_util.tree_map)
-    return per_step, b
+    return per_step, b, flops
 
 
 def bench_fpd_w48_w32(ctx):
@@ -282,9 +354,10 @@ def bench_fpd_w48_w32(ctx):
                                teacher_multi_output=False, teacher_cfg=tcfg)
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, (256, 192), 17, ctx["shard_batch"])
+    flops = _step_flops(step, state, tvars, batch)
     per_step = _timed_train(step, state, (tvars,), batch, jnp,
                             jax.tree_util.tree_map)
-    return per_step, b
+    return per_step, b, flops
 
 
 def _bench_plain_train(ctx, cfg, img_hw, joints):
@@ -301,9 +374,10 @@ def _bench_plain_train(ctx, cfg, img_hw, joints):
     step = make_train_step(model, cfg, ctx["mesh"], multi_output=False)
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, img_hw, joints, ctx["shard_batch"])
+    flops = _step_flops(step, state, batch)
     per_step = _timed_train(step, state, (), batch, jnp,
                             jax.tree_util.tree_map)
-    return per_step, b
+    return per_step, b, flops
 
 
 def bench_w32_train(ctx):
@@ -340,8 +414,9 @@ def _bench_eval(ctx, cfg, img_hw, joints, multi_output):
                           flip_perm=perm)
     b = BATCH * ctx["n"]
     batch = _eval_batch(ctx["mesh"], b, img_hw, joints, ctx["shard_batch"])
+    flops = _step_flops(step, variables, batch)
     per_step = _timed_eval(step, variables, batch, jnp)
-    return per_step, b
+    return per_step, b, flops
 
 
 def bench_w32_eval(ctx):
@@ -394,8 +469,9 @@ def bench_serve_w32(ctx):
         out = p._step(v, bt)
         return {"loss": out["preds"].sum() + out["maxvals"].sum()}
 
+    flops = _step_flops(step, p.variables, batch)
     per_step = _timed_eval(step, p.variables, batch, jnp)
-    return per_step, b
+    return per_step, b, flops
 
 
 WORKLOADS = [
@@ -424,8 +500,35 @@ WORKLOADS = [
 ]
 
 
+def _emit(results) -> None:
+    """Print the cumulative result JSON line (schema unchanged).
+
+    Called after EVERY completed workload so the last JSON line in the
+    output tail is always the richest valid record, even if the process
+    is killed mid-grid (round-4 failure: rc=124 -> no record at all).
+    """
+    head = results[0] if results else {"metric": "none", "value": None}
+    line = {
+        "metric": head["metric"],
+        "value": head.get("value"),
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(head["value"] / NORTH_STAR_PER_CHIP, 3)
+                        if head.get("value") else None),
+        # The reference publishes no throughput (BASELINE.md); the divisor
+        # is the documented ~140 img/s ESTIMATE (docstring above), x2
+        # north-star, /8 chips.  Flagged so vs_baseline is never quoted as
+        # a measured-reference comparison.
+        "baseline_estimated": True,
+        "baseline_estimate_imgs_per_sec_total": REFERENCE_TOTAL_IMGS_PER_SEC,
+        "extra_metrics": results[1:],
+    }
+    print(json.dumps(line), flush=True)
+
+
 def main() -> None:
-    _wait_for_device(float(os.environ.get("FHPE_BENCH_RELAY_WAIT_S", "1200")))
+    _wait_for_device(min(
+        float(os.environ.get("FHPE_BENCH_RELAY_WAIT_S", "600")),
+        max(0.0, _remaining_s() - 600.0)))
 
     import jax
 
@@ -439,17 +542,33 @@ def main() -> None:
     ctx = {"n": n, "mesh": get_mesh(n), "shard_batch": shard_batch}
 
     results = []
+    out_of_budget = False
     for key, metric, fn in selected:
+        if out_of_budget or _remaining_s() < _RESERVE_S:
+            out_of_budget = True
+            results.append({"metric": metric, "value": None,
+                            "unit": "images/sec/chip",
+                            "skipped_budget": True})
+            print(f"# bench: {key} skipped (budget: "
+                  f"{_remaining_s():.0f}s left)", flush=True)
+            continue
         last_err = None
         for attempt in range(2):
             try:
-                per_step, b = fn(ctx)
-                results.append({
+                per_step, b, flops = fn(ctx)
+                row = {
                     "metric": metric,
                     "value": round(b / per_step / n, 2),
                     "unit": "images/sec/chip",
                     "batch_per_chip": BATCH,
-                })
+                }
+                if flops:
+                    # cost_analysis counts the whole n-device step; the MFU
+                    # estimate is per chip (uniform data-parallel shards).
+                    row["analytic_flops_per_img"] = round(flops / b, 0)
+                    row["mfu_est"] = round(
+                        (flops / b) * row["value"] / V5E_BF16_PEAK_FLOPS, 4)
+                results.append(row)
                 last_err = None
                 break
             except Exception as e:          # noqa: BLE001 — transient relay
@@ -457,30 +576,20 @@ def main() -> None:
                 print(f"# bench: {key} attempt {attempt} failed: {e!r}",
                       flush=True)
                 traceback.print_exc()
+                if _remaining_s() < _RESERVE_S + 30:
+                    break
                 time.sleep(30)
         if last_err is not None:
             results.append({"metric": metric, "value": None,
                             "unit": "images/sec/chip",
                             "error": repr(last_err)})
         done = results[-1]
-        print(f"# bench: {key} -> {done.get('value')}", flush=True)
+        print(f"# bench: {key} -> {done.get('value')} "
+              f"(mfu_est={done.get('mfu_est')}, "
+              f"{_remaining_s():.0f}s budget left)", flush=True)
+        _emit(results)
 
-    head = results[0] if results else {"metric": "none", "value": None}
-    line = {
-        "metric": head["metric"],
-        "value": head["value"],
-        "unit": "images/sec/chip",
-        "vs_baseline": (round(head["value"] / NORTH_STAR_PER_CHIP, 3)
-                        if head.get("value") else None),
-        # The reference publishes no throughput (BASELINE.md); the divisor
-        # is the documented ~140 img/s ESTIMATE (docstring above), x2
-        # north-star, /8 chips.  Flagged so vs_baseline is never quoted as
-        # a measured-reference comparison.
-        "baseline_estimated": True,
-        "baseline_estimate_imgs_per_sec_total": REFERENCE_TOTAL_IMGS_PER_SEC,
-        "extra_metrics": results[1:],
-    }
-    print(json.dumps(line))
+    _emit(results)
 
 
 if __name__ == "__main__":

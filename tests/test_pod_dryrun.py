@@ -2,7 +2,8 @@
 
 ``__graft_entry__.dryrun_multichip`` is the driver's multi-chip gate (FPD
 train step + flip-test eval decode bit-equality vs 1 device + checkpoint
-round trip).  The driver exercises it at n=8; this test exercises the same
+round trip, for the hourglass FPD pair AND the tiny-HRNet / tiny-ResNet
+COCO-family legs).  The driver exercises it at n=8; this test exercises the same
 contract at a pod-slice-sized n=16 so nothing in the mesh construction,
 shard_map programs, or eval gather semantics silently assumes n<=8 (e.g.
 v5e-16 / v4-16 slice topologies).  Runs in a subprocess because the device
@@ -30,7 +31,7 @@ def test_dryrun_multichip_16_devices():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(16)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, (
         f"dryrun_multichip(16) failed\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr[-3000:]}")
