@@ -24,6 +24,7 @@ from ..train.state import create_train_state, lr_for_epoch, set_lr
 from ..train.step import make_batch_preprocessor, make_fpd_train_step
 from ..utils.checkpoint import (auto_resume_multihost, load_model_weights,
                                 save_checkpoint, save_final_state)
+from ..utils.dtype import compute_dtype
 from ..utils.logger import create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from .common import (build_loaders, is_main_process, load_cfg_from_args,
@@ -101,7 +102,7 @@ def main():
     n_dev = (cfg.TPU.NUM_DEVICES if cfg.TPU.NUM_DEVICES > 0
              else len(jax.devices()))
     mesh = get_mesh(n_dev)
-    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = compute_dtype(cfg)
 
     student = get_pose_net(cfg, dtype=dtype)
     teacher = get_pose_net(tcfg, dtype=dtype)
@@ -109,6 +110,16 @@ def main():
         student, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))["text"])
     logger.info("Teacher:\n" + get_model_summary(
         teacher, (tcfg.MODEL.IMAGE_SIZE[1], tcfg.MODEL.IMAGE_SIZE[0]))["text"])
+
+    # model-graph substitute (tools/train.py:129-138): lowered StableHLO
+    # of the student forward; FHPE_DUMP_HLO=0 disables
+    if os.environ.get("FHPE_DUMP_HLO", "1") != "0":
+        from ..utils.summary import dump_hlo
+        hlo_path = os.path.join(output_dir, "student_forward.stablehlo.txt")
+        if dump_hlo(student,
+                    (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]),
+                    hlo_path):
+            logger.info(f"=> wrote lowered StableHLO to {hlo_path}")
 
     train_loader, val_loader, meta = build_loaders(cfg, n_dev)
 
@@ -150,10 +161,15 @@ def main():
             raise SystemExit(
                 f"TRAIN.CHECKPOINT not found: {cfg.TRAIN.CHECKPOINT}")
         w = load_model_weights(cfg.TRAIN.CHECKPOINT)
+        params = serialization.from_state_dict(state.params, w["params"])
+        # weights-only: fresh optimizer on the loaded weights (reference
+        # constructs the optimizer after load_state_dict,
+        # fpd_train.py:169-183), and opt-state dtypes track the import
         state = state.replace(
-            params=serialization.from_state_dict(state.params, w["params"]),
+            params=params,
             batch_stats=serialization.from_state_dict(
-                state.batch_stats, w["batch_stats"]))
+                state.batch_stats, w["batch_stats"]),
+            opt_state=state.tx.init(params))
         logger.info(f"=> student warm-started from {cfg.TRAIN.CHECKPOINT}")
 
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH

@@ -20,6 +20,7 @@ from flax import serialization
 from ..models import get_pose_net, is_multi_output
 from ..parallel.mesh import get_mesh
 from ..utils.checkpoint import FINAL_NAME, load_model_weights
+from ..utils.dtype import compute_dtype
 from ..utils.logger import create_logger
 from ..utils.summary import get_model_summary
 from .common import (build_loaders, load_cfg_from_args, make_evaluate_fn,
@@ -34,7 +35,7 @@ def main():
     n_dev = (cfg.TPU.NUM_DEVICES if cfg.TPU.NUM_DEVICES > 0
              else len(jax.devices()))
     mesh = get_mesh(n_dev)
-    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = compute_dtype(cfg)
     model = get_pose_net(cfg, dtype=dtype)
     logger.info(get_model_summary(
         model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))["text"])

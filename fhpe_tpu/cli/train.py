@@ -26,6 +26,7 @@ from ..train.state import create_train_state, lr_for_epoch, set_lr
 from ..train.step import make_batch_preprocessor, make_train_step
 from ..utils.checkpoint import (auto_resume_multihost, save_checkpoint,
                                 save_final_state)
+from ..utils.dtype import compute_dtype
 from ..utils.logger import WindowedMeters, create_logger, save_config_yaml
 from ..utils.summary import get_model_summary
 from ..utils.vis import save_debug_images
@@ -97,12 +98,15 @@ def main():
              else len(jax.devices()))
     mesh = get_mesh(n_dev)
 
-    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dtype = compute_dtype(cfg)
     model = get_pose_net(cfg, dtype=dtype)
     summary = get_model_summary(
         model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]))
     logger.info(summary["text"])
-    if os.environ.get("FHPE_DUMP_HLO"):
+    # Default-on model-graph dump: the lowered StableHLO text is the JAX
+    # analogue of the reference's TensorBoard add_graph
+    # (tools/train.py:129-138).  FHPE_DUMP_HLO=0 disables.
+    if os.environ.get("FHPE_DUMP_HLO", "1") != "0":
         from ..utils.summary import dump_hlo
         hlo_path = os.path.join(output_dir, "forward.stablehlo.txt")
         if dump_hlo(model, (cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]),
@@ -139,10 +143,17 @@ def main():
         from flax import serialization
         from ..utils.checkpoint import load_model_weights
         w = load_model_weights(cfg.TRAIN.CHECKPOINT)
+        params = serialization.from_state_dict(state.params, w["params"])
+        # weights-only semantics: the optimizer starts fresh ON the loaded
+        # weights (the reference warm-start loads the model state_dict and
+        # constructs the optimizer afterwards, fpd_train.py:169-183);
+        # re-init also keeps opt-state leaf dtypes in lockstep with the
+        # loaded params (a float64 import must not ride f32 Adam moments)
         state = state.replace(
-            params=serialization.from_state_dict(state.params, w["params"]),
+            params=params,
             batch_stats=serialization.from_state_dict(
-                state.batch_stats, w["batch_stats"]))
+                state.batch_stats, w["batch_stats"]),
+            opt_state=state.tx.init(params))
         logger.info(f"=> warm-started weights from {cfg.TRAIN.CHECKPOINT}")
 
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH

@@ -41,6 +41,7 @@ from ..data import dataset_meta
 from ..data.coco import xywh2cs
 from ..geometry.affine import get_affine_transform
 from ..geometry.flip import flip_back_jax, flip_pair_permutation
+from ..utils.dtype import compute_dtype
 from ..models import get_pose_net, is_multi_output
 from ..ops.decode import decode_heatmaps_jax, make_inverse_transforms
 from ..ops.preprocess import normalize_images_jax
@@ -87,8 +88,7 @@ class Predictor:
             raise ValueError(
                 f"batch_size {self.batch_size} must divide over "
                 f"{n_devices} devices")
-        dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
-                 else jnp.float32)
+        dtype = compute_dtype(cfg)
         self.model = get_pose_net(cfg, dtype=dtype)
         self._multi = is_multi_output(self.model)
         # Commit once, replicated: numpy leaves would re-upload the whole
@@ -154,8 +154,7 @@ class Predictor:
         """Build from a saved weight file (msgpack state dict)."""
         from flax import serialization
         from ..utils.checkpoint import load_model_weights
-        dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
-                 else jnp.float32)
+        dtype = compute_dtype(cfg)
         model = get_pose_net(cfg, dtype=dtype)
         sample = jnp.zeros((1, cfg.MODEL.IMAGE_SIZE[1],
                             cfg.MODEL.IMAGE_SIZE[0], 3))

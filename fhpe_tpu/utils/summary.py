@@ -4,14 +4,21 @@ TPU-native replacement for the reference's forward-hook FLOPs counter
 (``lib/utils/utils.py:86-202``): parameters come from the pytree, FLOPs
 from XLA's own ``cost_analysis`` on the compiled forward — the compiler's
 count of what will actually execute, rather than a per-module estimate.
+Per-module name/params/FLOPs rows (the reference's per-module table) come
+from ``flax.linen.tabulate(compute_flops=True)``, which costs each
+submodule call via the same XLA analysis.
 """
 
 from __future__ import annotations
+
+import logging
 
 import jax
 import jax.numpy as jnp
 
 from ..models.common import param_count
+
+logger = logging.getLogger(__name__)
 
 
 def module_param_table(params) -> list:
@@ -29,10 +36,33 @@ def module_param_table(params) -> list:
     return rows
 
 
-def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
+def per_module_flops_table(model, x, train: bool = False,
+                           depth: int = 2) -> str | None:
+    """Per-module name/params/FLOPs table (reference per-module summary,
+    ``lib/utils/utils.py:86-202``) via ``flax.linen.tabulate`` with
+    ``compute_flops`` — each submodule call is costed by XLA's own
+    analysis instead of hand-counted hook formulas.  Best-effort: returns
+    None (with a logged warning) if tabulation fails.
+    """
+    try:
+        import flax.linen as nn
+        tab = nn.tabulate(
+            model, jax.random.PRNGKey(0), compute_flops=True, depth=depth,
+            console_kwargs={"width": 120, "force_terminal": False,
+                            "force_jupyter": False})
+        return tab(x, train=train)
+    except Exception as e:  # noqa: BLE001 — observability must not kill runs
+        logger.warning("per-module FLOPs table unavailable: %r", e)
+        return None
+
+
+def get_model_summary(model, input_hw, batch: int = 1, train: bool = False,
+                      per_module_flops: bool = True):
     """dict with params, flops (fwd, per batch), per-module rows, and a
     printable text table (reference get_model_summary,
-    lib/utils/utils.py:86-202)."""
+    lib/utils/utils.py:86-202).  ``per_module_flops`` appends the
+    per-module name/params/FLOPs table (reference :170-199 prints one row
+    per module)."""
     x = jnp.zeros((batch, input_hw[0], input_hw[1], 3))
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), x, train=False))
@@ -48,8 +78,9 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = c.get("flops")
-    except Exception:  # cost analysis is best-effort (backend-dependent)
-        pass
+    except Exception as e:  # cost analysis is best-effort (backend-dependent)
+        logger.warning("whole-model FLOPs unavailable (XLA cost_analysis "
+                       "failed): %r", e)
 
     name_w = max([len(r[0]) for r in rows] + [len("Module")])
     lines = [
@@ -65,8 +96,15 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False):
     if flops is not None:
         lines.append(f"Forward GFLOPs (batch={batch}, XLA cost_analysis): "
                      f"{flops / 1e9:.2f}")
+    else:
+        lines.append("Forward GFLOPs: unavailable (see warning log)")
+    module_table = None
+    if per_module_flops:
+        module_table = per_module_flops_table(model, x, train=train)
+        if module_table:
+            lines.append(module_table)
     return {"params": n_params, "flops": flops, "modules": rows,
-            "text": "\n".join(lines)}
+            "module_flops_table": module_table, "text": "\n".join(lines)}
 
 
 def dump_hlo(model, input_hw, path: str, batch: int = 1,

@@ -44,6 +44,20 @@ def install():
             m = _types.ModuleType(name)
             setattr(m, attr, lambda *a, **k: [])
             sys.modules[name] = m
+    if "yacs" not in sys.modules:
+        # yacs is not on this box; fhpe's CfgNode is API-compatible with
+        # the subset the reference's lib/config uses (empty CN(),
+        # attribute building, new_allowed EXTRA nodes, defrost/merge/
+        # freeze) — verified by tests/test_epoch_loop_parity.py driving
+        # the real tools/train.py through it.
+        from fhpe_tpu.config.node import CfgNode as _CfgNode
+
+        yacs = _types.ModuleType("yacs")
+        yacs_config = _types.ModuleType("yacs.config")
+        yacs_config.CfgNode = _CfgNode
+        yacs.config = yacs_config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = yacs_config
     if "pycocotools" not in sys.modules:
         pct = _types.ModuleType("pycocotools")
         pc = _types.ModuleType("pycocotools.coco")
