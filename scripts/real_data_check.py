@@ -40,9 +40,23 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 # Known split sizes for the reference's annotation releases
 # (mpii annot json of this codebase family; README.md data preparation).
+# COCO gt counts are what the reference's `=> load {} samples` line prints
+# (lib/dataset/coco.py:123) for person_keypoints_{split}.json: one record
+# per person instance with keypoints.
 EXPECTED_DB_COUNTS = {
     ("mpii", "train"): 22246,
     ("mpii", "valid"): 2958,
+    ("coco", "train2017"): 149813,
+    ("coco", "val2017"): 6352,      # gt-bbox eval db (TEST.USE_GT_BBOX)
+}
+
+# The released person-detection results file the headline AP table uses
+# (README.md:51,62 — detector with person AP 56.4 on val2017): the
+# reference logs `=> Total boxes: 104125` and, at the configs' IMAGE_THRE
+# 0.0, `=> Total boxes after fliter low score@0.0: 104125`
+# (lib/dataset/coco.py:268,298).
+EXPECTED_COCO_DET_BOXES = {
+    "val2017": 104125,
 }
 
 
@@ -63,13 +77,17 @@ def check_db(cfg, expect_train: int | None, expect_val: int | None):
 
     name = cfg.DATASET.DATASET
     counts = {}
+    # the known gt counts only gate the test split when it IS the gt db;
+    # with USE_GT_BBOX False the test-split db is the detector db, gated
+    # separately by check_coco_detector_db
+    val_expected = expect_val
+    if val_expected is None and (name != "coco" or cfg.TEST.USE_GT_BBOX):
+        val_expected = EXPECTED_DB_COUNTS.get((name, cfg.DATASET.TEST_SET))
     for split, is_train, expected in (
             (cfg.DATASET.TRAIN_SET, True,
              expect_train if expect_train is not None
              else EXPECTED_DB_COUNTS.get((name, cfg.DATASET.TRAIN_SET))),
-            (cfg.DATASET.TEST_SET, False,
-             expect_val if expect_val is not None
-             else EXPECTED_DB_COUNTS.get((name, cfg.DATASET.TEST_SET)))):
+            (cfg.DATASET.TEST_SET, False, val_expected)):
         db = build_db(cfg, split, is_train)
         counts[split] = db
         _log(f"db[{name}/{split}]: {len(db)} records")
@@ -86,6 +104,54 @@ def check_db(cfg, expect_train: int | None, expect_val: int | None):
             if not os.path.exists(real):
                 raise CheckFailure(f"image missing on disk: {path}")
     return counts
+
+
+# ---------------------------------------------------------------------------
+# stage 1b (COCO): detector-bbox db gate (TEST.COCO_BBOX_FILE)
+# ---------------------------------------------------------------------------
+
+def check_coco_detector_db(cfg, expect_boxes: int | None):
+    """Gate the detector-box eval db the headline AP table depends on.
+
+    Mirrors the two counts the reference logs while loading the released
+    detection-results file (lib/dataset/coco.py:259-300): the raw person
+    detection count (`Total boxes`, :268) and the post-IMAGE_THRE db size
+    (:271-299).  Runs whenever TEST.COCO_BBOX_FILE is set, independent of
+    USE_GT_BBOX, so one command validates BOTH eval dbs.
+    """
+    import json
+
+    from fhpe_tpu.data import coco as coco_mod
+
+    bbox_file = cfg.TEST.COCO_BBOX_FILE
+    if not os.path.exists(bbox_file):
+        raise CheckFailure(f"TEST.COCO_BBOX_FILE missing: {bbox_file}")
+    with open(bbox_file) as f:
+        raw = json.load(f)
+    n_person = sum(1 for d in raw if d.get("category_id") == 1)
+    _log(f"detector file {os.path.basename(bbox_file)}: {len(raw)} dets, "
+         f"{n_person} person (reference 'Total boxes', coco.py:268)")
+
+    aspect = cfg.MODEL.IMAGE_SIZE[0] / cfg.MODEL.IMAGE_SIZE[1]
+    db = coco_mod.build_detection_db(
+        cfg.DATASET.ROOT, cfg.DATASET.TEST_SET, bbox_file, aspect,
+        cfg.TEST.IMAGE_THRE, cfg.DATASET.DATA_FORMAT)
+    _log(f"detector db after IMAGE_THRE@{cfg.TEST.IMAGE_THRE}: "
+         f"{len(db)} boxes")
+    expected = (expect_boxes if expect_boxes is not None
+                else EXPECTED_COCO_DET_BOXES.get(cfg.DATASET.TEST_SET))
+    if expected is not None and n_person != expected:
+        raise CheckFailure(
+            f"person detection count is {n_person}, expected {expected} — "
+            f"wrong detection-results release?")
+    if not db:
+        raise CheckFailure("detector db is empty after IMAGE_THRE filter")
+    for rec in (db[0], db[-1]):
+        path = rec["image"]
+        real = path.split("@")[0] if "@" in path else path
+        if not os.path.exists(real):
+            raise CheckFailure(f"detector-db image missing on disk: {path}")
+    return db
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +293,13 @@ def main(argv=None) -> int:
     p.add_argument("--expect-val-count", type=int, default=None)
     p.add_argument("--expect-perf", type=float, default=None,
                    help="expected validate perf for the imported teacher")
-    p.add_argument("--perf-tolerance", type=float, default=0.5)
+    p.add_argument("--perf-tolerance", type=float, default=None,
+                   help="allowed |perf - expect-perf|; defaults to 0.5 on "
+                        "the PCKh 0-100 scale, 0.005 on the AP 0-1 scale")
+    p.add_argument("--expect-det-boxes", type=int, default=None,
+                   help="expected person-detection count in "
+                        "TEST.COCO_BBOX_FILE (default: the released "
+                        "AP-56.4 file's 104125 for val2017)")
     p.add_argument("--skip-validate", action="store_true",
                    help="stop after the data checks (no device work)")
     p.add_argument("--launch", action="store_true",
@@ -240,12 +312,18 @@ def main(argv=None) -> int:
     cfg = load_config(args.cfg, opts=(["DATASET.ROOT", args.root]
                                       + list(args.opts or [])))
 
+    tolerance = args.perf_tolerance
+    if tolerance is None:
+        tolerance = (0.005 if args.expect_perf is not None
+                     and args.expect_perf <= 1.0 else 0.5)
+
     try:
         dbs = check_db(cfg, args.expect_train_count, args.expect_val_count)
+        if cfg.DATASET.DATASET == "coco" and cfg.TEST.COCO_BBOX_FILE:
+            check_coco_detector_db(cfg, args.expect_det_boxes)
         check_getitem_parity(cfg, dbs[cfg.DATASET.TEST_SET], args.n_samples)
         if args.teacher and not args.skip_validate:
-            check_teacher(cfg, args.teacher, args.expect_perf,
-                          args.perf_tolerance)
+            check_teacher(cfg, args.teacher, args.expect_perf, tolerance)
     except CheckFailure as e:
         _log(f"FAILED: {e}")
         return 1
