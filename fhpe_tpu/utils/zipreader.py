@@ -1,17 +1,26 @@
 """Read images directly out of zip archives (``archive.zip@inner/path``).
 
 Behavioral equivalent of the reference ``lib/utils/zipreader.py``: zip file
-handles are cached per-process and entries decoded with cv2.imdecode.
+handles are cached and entries decoded with cv2.imdecode.
+
+Handles are cached per-THREAD (the reference caches per-process,
+``lib/utils/zipreader.py:23-46``, which is fine there because its loader
+parallelism is worker *processes*): a ``ZipFile``'s member reads are
+serialized on the handle's internal lock, so a shared handle would degrade
+the ``BatchLoader`` thread pool to sequential archive reads on a real
+multi-core TPU host.  One open handle per (thread, archive) costs a file
+descriptor each and removes the lock contention entirely.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import zipfile
 
 import numpy as np
 
-_cache: dict = {}
+_local = threading.local()
 
 
 def split_path(path: str):
@@ -24,10 +33,13 @@ def split_path(path: str):
 
 
 def _get_zip(zip_path: str) -> zipfile.ZipFile:
-    zf = _cache.get(zip_path)
+    cache = getattr(_local, "cache", None)
+    if cache is None:
+        cache = _local.cache = {}
+    zf = cache.get(zip_path)
     if zf is None:
         zf = zipfile.ZipFile(zip_path, "r")
-        _cache[zip_path] = zf
+        cache[zip_path] = zf
     return zf
 
 
