@@ -84,6 +84,11 @@ def _base() -> CfgNode:
     # library cannot be built.
     c.TPU.NATIVE_DECODE = False
     c.TPU.NATIVE_WARP = False
+    # DEPRECATED no-op (removed round 4: in-loop fused-eval measured 14x
+    # slower than the jitted eval step, docs/BENCH_NOTES.md).  Kept so
+    # configs saved by older runs (output/**/config.yaml) still merge;
+    # load_config warns if set true.
+    c.TPU.FUSED_EVAL = False
     # Stall watchdog (utils/watchdog.py): if the train/eval loop makes no
     # progress for this many seconds (e.g. the TPU transport drops and a
     # device fetch blocks forever), dump stacks, flush pending host-side
@@ -273,6 +278,12 @@ def load_config(cfg_file: str, opts: list | None = None,
     cfg.MODEL.PRETRAINED = os.path.join(cfg.DATA_DIR, cfg.MODEL.PRETRAINED)
     if cfg.TEST.MODEL_FILE:
         cfg.TEST.MODEL_FILE = os.path.join(cfg.DATA_DIR, cfg.TEST.MODEL_FILE)
+
+    if cfg.TPU.FUSED_EVAL:
+        import warnings
+        warnings.warn("TPU.FUSED_EVAL is deprecated and ignored (removed "
+                      "round 4: measured 14x slower than the jitted eval "
+                      "step)", stacklevel=2)
 
     # DEVICE_WARP ships canvases + affines and relies on the on-device
     # preprocessor to warp/normalize/stamp targets; without it the step

@@ -137,9 +137,15 @@ def crop(img, center, scale, output_size, rot=0) -> np.ndarray:
         import cv2
         return cv2.warpAffine(img, trans, dsize, flags=cv2.INTER_LINEAR)
     except ImportError:
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            # silently casting floats here would truncate [0,1]-scaled
+            # images to all zeros; the native warp is uint8-only by design
+            raise ValueError(
+                f"crop() without cv2 supports uint8 images only, got "
+                f"dtype {img.dtype}")
         from ..ops.native_image import warp_affine_native
-        return warp_affine_native(np.ascontiguousarray(img, np.uint8),
-                                  trans, dsize)
+        return warp_affine_native(np.ascontiguousarray(img), trans, dsize)
 
 
 def transform_preds_batch(coords, centers, scales, output_size) -> np.ndarray:

@@ -13,7 +13,7 @@ Here the same decomposition maps to TPU as:
 
 All shapes static: callers pad detections to a fixed N and pass a validity
 mask.  Keep-lists match ``ops.nms`` (and the reference) exactly; pinned by
-tests/test_nms_jax.py.
+tests/test_native_nms.py.
 """
 
 from __future__ import annotations

@@ -195,3 +195,52 @@ def test_eval_step_padded_rows_masked():
                                rtol=1e-6)
     assert float(masked["loss"]) < 1.0  # poisoned rows excluded
     assert float(full["loss"]) != float(masked["loss"])
+
+
+def test_deprecated_fused_eval_key_still_merges(tmp_path):
+    """Configs saved by older runs contain 'FUSED_EVAL: false' under TPU;
+    the key must stay mergeable as a deprecated no-op (round-4 advisor)."""
+    import warnings
+
+    import yaml
+
+    from fhpe_tpu.config import load_config
+
+    cfg_file = tmp_path / "old_run_config.yaml"
+    cfg_file.write_text(yaml.safe_dump({
+        "MODEL": {"NAME": "hourglass",
+                  "EXTRA": {"NUM_STACKS": 1, "NUM_FEATURES": 16}},
+        "TPU": {"FUSED_EVAL": False},
+    }))
+    cfg = load_config(str(cfg_file))
+    assert cfg.TPU.FUSED_EVAL is False
+
+    cfg_file.write_text(yaml.safe_dump({"TPU": {"FUSED_EVAL": True}}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_config(str(cfg_file))
+    assert any("FUSED_EVAL is deprecated" in str(x.message) for x in w)
+
+
+def test_crop_no_cv2_fallback_rejects_float_images():
+    """The native-warp fallback is uint8-only; float input used to be
+    silently truncated to zeros (round-4 advisor)."""
+    import builtins
+
+    from fhpe_tpu.geometry import affine
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("cv2 disabled for test")
+        return real_import(name, *a, **k)
+
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    builtins.__import__ = no_cv2
+    try:
+        with pytest.raises(ValueError, match="uint8"):
+            affine.crop(img, np.array([16.0, 16.0]),
+                        np.array([0.16, 0.16]), (16, 16))
+    finally:
+        builtins.__import__ = real_import
