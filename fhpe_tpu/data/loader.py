@@ -233,8 +233,11 @@ class PoseDataSource:
         rec = self.db[idx]
         joints = np.array(rec["joints_3d"], copy=True)
         joints_vis = np.array(rec["joints_3d_vis"], copy=True)
-        c = np.array(rec["center"], copy=True, dtype=np.float64)
-        s = np.array(rec["scale"], copy=True, dtype=np.float64)
+        # preserve the record's dtype: COCO stores center/scale float32 and
+        # the reference's affine construction rounds accordingly (MPII is
+        # float64); see geometry/affine.get_affine_transform
+        c = np.array(rec["center"], copy=True)
+        s = np.array(rec["scale"], copy=True)
 
         if (np.sum(joints_vis[:, 0]) > self.num_joints_half_body
                 and self.rng.rand() < self.prob_half_body):
@@ -281,8 +284,10 @@ class PoseDataSource:
                     joints, joints_vis, img.shape[1], self.flip_pairs)
                 c[0] = img.shape[1] - c[0] - 1
         else:
-            c = np.array(rec["center"], copy=True, dtype=np.float64)
-            s = np.array(rec["scale"], copy=True, dtype=np.float64)
+            # rec dtype preserved (float32 for COCO, float64 for MPII) so
+            # the eval warp matrix is bit-identical to the reference's
+            c = np.array(rec["center"], copy=True)
+            s = np.array(rec["scale"], copy=True)
             r = 0
             flipped = False
 

@@ -68,18 +68,35 @@ def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0), inv=
     box width is ``scale[0] * 200``.  ``inv=True`` returns the output->source
     transform (used to map predictions back to original image coordinates).
     """
-    center = np.asarray(center, dtype=np.float64)
-    scale = np.asarray(scale, dtype=np.float64)
+    # Dtype flow mirrors the reference's numpy promotion exactly
+    # (transforms.py:57-73): COCO db records store center/scale as float32
+    # (lib/dataset/coco.py _xywh2cs), so `scale * 200.0` there rounds the
+    # box width to float32 BEFORE the point construction; forcing float64
+    # here instead shifts the affine matrix by ~1e-8, which flips isolated
+    # warped pixels at exact bilinear ties.  MPII records are float64 and
+    # stay float64.  Integer/list inputs promote to float64 as in numpy.
+    center = np.asarray(center)
+    scale = np.asarray(scale)
+    if not np.issubdtype(scale.dtype, np.floating):
+        scale = scale.astype(np.float64)
+    if not np.issubdtype(center.dtype, np.floating):
+        center = center.astype(np.float64)
     if scale.ndim == 0:
-        scale = np.array([float(scale), float(scale)])
-    shift = np.asarray(shift, dtype=np.float64)
+        scale = np.array([scale, scale], dtype=scale.dtype)
+    # reference default shift is float32 zeros; scale_tmp * shift happens
+    # in the promoted dtype there too
+    shift = np.asarray(shift, dtype=np.float32)
 
     box = scale * 200.0
     src_w = box[0]
     dst_w, dst_h = float(output_size[0]), float(output_size[1])
 
     rot_rad = np.pi * rot / 180.0
-    src_dir = _rotate(np.array([0.0, src_w * -0.5]), rot_rad)
+    # src_w * -0.5 rounds in src_w's own dtype (the reference builds the
+    # point list from the float32 scalar); the rotation itself runs in
+    # float64 like the reference's get_dir (sin/cos are float64)
+    src_dir = _rotate(np.array([0.0, src_w * np.asarray(-0.5, src_w.dtype)],
+                               dtype=np.float64), rot_rad)
     dst_dir = np.array([0.0, dst_w * -0.5])
 
     # Precision flow matches the reference exactly (transforms.py:74-82):
