@@ -65,7 +65,12 @@ Each workload also reports ``analytic_flops_per_img`` (XLA cost_analysis
 on the unoptimized lowering of its whole step — forward+backward+optimizer
 for train, flip-test+decode for eval) and ``mfu_est`` = achieved
 FLOP/s / 197e12 (v5e bf16 peak), making the MFU-ceiling claims in
-docs/BENCH_NOTES.md regression-tracked numbers.
+docs/BENCH_NOTES.md regression-tracked numbers.  The axon PJRT plugin's
+``Lowering.cost_analysis()`` returns None (measured round 5), so the
+counts come from a ``FHPE_PLATFORM=cpu`` subprocess that traces + lowers
+the identical n=1 workload client-side (``--flops-json`` mode; lowering
+is backend-independent, per-image FLOPs are device-count-independent for
+these data-parallel steps).  Disable with ``FHPE_BENCH_CPU_FLOPS=0``.
 """
 
 from __future__ import annotations
@@ -328,6 +333,8 @@ def bench_fpd_hg(ctx):
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, (256, 256), 16, ctx["shard_batch"])
     flops = _step_flops(step, state, tvars, batch)
+    if ctx.get("flops_only"):
+        return None, b, flops
     per_step = _timed_train(step, state, (tvars,), batch, jnp,
                             jax.tree_util.tree_map)
     return per_step, b, flops
@@ -355,6 +362,8 @@ def bench_fpd_w48_w32(ctx):
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, (256, 192), 17, ctx["shard_batch"])
     flops = _step_flops(step, state, tvars, batch)
+    if ctx.get("flops_only"):
+        return None, b, flops
     per_step = _timed_train(step, state, (tvars,), batch, jnp,
                             jax.tree_util.tree_map)
     return per_step, b, flops
@@ -375,6 +384,8 @@ def _bench_plain_train(ctx, cfg, img_hw, joints):
     b = BATCH * ctx["n"]
     batch = _train_batch(ctx["mesh"], b, img_hw, joints, ctx["shard_batch"])
     flops = _step_flops(step, state, batch)
+    if ctx.get("flops_only"):
+        return None, b, flops
     per_step = _timed_train(step, state, (), batch, jnp,
                             jax.tree_util.tree_map)
     return per_step, b, flops
@@ -415,6 +426,8 @@ def _bench_eval(ctx, cfg, img_hw, joints, multi_output):
     b = BATCH * ctx["n"]
     batch = _eval_batch(ctx["mesh"], b, img_hw, joints, ctx["shard_batch"])
     flops = _step_flops(step, variables, batch)
+    if ctx.get("flops_only"):
+        return None, b, flops
     per_step = _timed_eval(step, variables, batch, jnp)
     return per_step, b, flops
 
@@ -470,6 +483,8 @@ def bench_serve_w32(ctx):
         return {"loss": out["preds"].sum() + out["maxvals"].sum()}
 
     flops = _step_flops(step, p.variables, batch)
+    if ctx.get("flops_only"):
+        return None, b, flops
     per_step = _timed_eval(step, p.variables, batch, jnp)
     return per_step, b, flops
 
@@ -500,6 +515,58 @@ WORKLOADS = [
 ]
 
 
+def _cpu_flops_subprocess(keys) -> dict:
+    """Per-image analytic FLOPs for the selected workloads, computed in a
+    ``FHPE_PLATFORM=cpu`` subprocess (``--flops-json`` mode below).
+
+    The axon plugin's lowered ``cost_analysis()`` returns None, but
+    lowering is client-side and backend-independent: the n=1 CPU lowering
+    of these data-parallel steps has the same per-image FLOPs as the TPU
+    program.  Best-effort, budget-capped; returns {} on any failure.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--flops-json", ",".join(keys)],
+            env={**os.environ, "FHPE_PLATFORM": "cpu"},
+            capture_output=True, text=True,
+            timeout=min(600.0, max(60.0, _remaining_s() - 600.0)))
+        for ln in r.stdout.splitlines():
+            if ln.startswith("FLOPS_JSON:"):
+                d = json.loads(ln[len("FLOPS_JSON:"):])
+                return {k: v for k, v in d.items() if v}
+        print(f"# bench: cpu-flops subprocess printed no FLOPS_JSON "
+              f"(rc={r.returncode}, stderr tail: {r.stderr[-300:]!r})",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        print(f"# bench: cpu-flops subprocess failed: {e!r}", flush=True)
+    return {}
+
+
+def _flops_json_main(keys) -> None:
+    """--flops-json mode: trace + lower each workload on CPU (n=1), print
+    one ``FLOPS_JSON:{key: flops_per_img}`` line.  Run with
+    FHPE_PLATFORM=cpu (applied at fhpe_tpu import)."""
+    from fhpe_tpu.parallel.mesh import get_mesh, shard_batch
+
+    ctx = {"n": 1, "mesh": get_mesh(1), "shard_batch": shard_batch,
+           "flops_only": True}
+    out = {}
+    for key, _, fn in WORKLOADS:
+        if key not in keys:
+            continue
+        try:
+            _, b, flops = fn(ctx)
+            out[key] = (flops / b) if flops else None
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"# flops {key} failed: {e!r}", flush=True)
+            out[key] = None
+    print("FLOPS_JSON:" + json.dumps(out), flush=True)
+
+
 def _emit(results) -> None:
     """Print the cumulative result JSON line (schema unchanged).
 
@@ -509,6 +576,7 @@ def _emit(results) -> None:
     """
     head = results[0] if results else {"metric": "none", "value": None}
     line = {
+        **head,  # keeps batch_per_chip / analytic_flops_per_img / mfu_est
         "metric": head["metric"],
         "value": head.get("value"),
         "unit": "images/sec/chip",
@@ -541,6 +609,14 @@ def main() -> None:
     n = len(jax.devices())
     ctx = {"n": n, "mesh": get_mesh(n), "shard_batch": shard_batch}
 
+    flops_per_img = {}
+    if (os.environ.get("FHPE_BENCH_CPU_FLOPS", "1") != "0"
+            and _remaining_s() > 900):
+        flops_per_img = _cpu_flops_subprocess([w[0] for w in selected])
+        print(f"# bench: cpu-flops: "
+              f"{ {k: round(v / 1e9, 2) for k, v in flops_per_img.items()} } "
+              f"GF/img ({_remaining_s():.0f}s budget left)", flush=True)
+
     results = []
     out_of_budget = False
     for key, metric, fn in selected:
@@ -562,12 +638,15 @@ def main() -> None:
                     "unit": "images/sec/chip",
                     "batch_per_chip": BATCH,
                 }
-                if flops:
-                    # cost_analysis counts the whole n-device step; the MFU
-                    # estimate is per chip (uniform data-parallel shards).
-                    row["analytic_flops_per_img"] = round(flops / b, 0)
+                # cost_analysis counts the whole n-device step; the MFU
+                # estimate is per chip (uniform data-parallel shards).  On
+                # axon the in-process count is None — fall back to the
+                # CPU-subprocess lowering of the identical workload.
+                fpi = (flops / b) if flops else flops_per_img.get(key)
+                if fpi:
+                    row["analytic_flops_per_img"] = round(fpi, 0)
                     row["mfu_est"] = round(
-                        (flops / b) * row["value"] / V5E_BF16_PEAK_FLOPS, 4)
+                        fpi * row["value"] / V5E_BF16_PEAK_FLOPS, 4)
                 results.append(row)
                 last_err = None
                 break
@@ -593,4 +672,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--flops-json":
+        _flops_json_main(set(sys.argv[2].split(",")))
+    else:
+        main()

@@ -43,6 +43,8 @@ def _stub_workloads(behaviors):
 @pytest.fixture
 def bench_env(monkeypatch):
     monkeypatch.setenv("FHPE_BENCH_RELAY_WAIT_S", "0")
+    # don't spawn the real CPU-flops subprocess under stub workloads
+    monkeypatch.setenv("FHPE_BENCH_CPU_FLOPS", "0")
     monkeypatch.setattr(bench, "BUDGET_S", 3300.0)
     monkeypatch.setattr(bench, "_T0", time.monotonic())
     return monkeypatch
@@ -109,6 +111,50 @@ def test_headline_mfu_fields(bench_env, capsys):
     assert final["vs_baseline"] is not None
     row = json.loads(json.dumps(final))  # headline row fields live on top
     assert row["value"] > 0
+
+
+def test_cpu_flops_fallback_populates_mfu(bench_env, capsys):
+    """When the in-process cost_analysis gives nothing (axon returns None,
+    round-5 finding), per-image FLOPs from the CPU-subprocess lowering
+    must populate analytic_flops_per_img/mfu_est."""
+    def fn(ctx):
+        return 0.01, 128 * ctx["n"], None  # no in-process flops
+
+    bench_env.setattr(bench, "WORKLOADS", [("a", "a_metric", fn)])
+    bench_env.setenv("FHPE_BENCH_CPU_FLOPS", "1")
+    bench_env.setattr(bench, "_cpu_flops_subprocess",
+                      lambda keys: {"a": 2.0e9})
+    bench.main()
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["analytic_flops_per_img"] == 2.0e9
+    assert final["mfu_est"] == pytest.approx(
+        2.0e9 * final["value"] / bench.V5E_BF16_PEAK_FLOPS, rel=1e-3)
+
+
+def test_flops_json_mode_prints_parseable_line(bench_env, capsys):
+    """--flops-json path: stub workloads, keys filtered, one FLOPS_JSON
+    line with per-image FLOPs (flops/b), failures as null."""
+    def ok(ctx):
+        return None, 128 * ctx["n"], 3.0e9 * 128 * ctx["n"]
+
+    def boom(ctx):
+        raise RuntimeError("no")
+
+    bench_env.setattr(bench, "WORKLOADS",
+                      [("a", "a_metric", ok), ("b", "b_metric", boom),
+                       ("c", "c_metric", ok)])
+
+    class _Mesh:  # _flops_json_main only passes these through to fns
+        pass
+
+    import fhpe_tpu.parallel.mesh as mesh_mod
+    bench_env.setattr(mesh_mod, "get_mesh", lambda n: _Mesh())
+    bench._flops_json_main({"a", "b"})
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("FLOPS_JSON:")]
+    assert len(line) == 1
+    d = json.loads(line[0][len("FLOPS_JSON:"):])
+    assert d == {"a": 3.0e9, "b": None}  # c filtered out, b's failure null
 
 
 def test_min_leg_discards_stall():
