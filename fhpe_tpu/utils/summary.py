@@ -14,11 +14,27 @@ from __future__ import annotations
 import logging
 
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 from ..models.common import param_count
 
 logger = logging.getLogger(__name__)
+
+
+def _cpu_lowering_scope():
+    """Context targeting the always-registered CPU backend for lowering.
+
+    The axon TPU plugin returns None from ``cost_analysis`` and routes
+    ``compile()`` through the remote relay (5-15 min, can SIGKILL) — but
+    analysis only needs *a* lowering, and lowering is client-side on CPU.
+    Falls back to a null context if no CPU backend exists.
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:  # noqa: BLE001 — analysis is best-effort
+        return contextlib.nullcontext()
 
 
 def module_param_table(params) -> list:
@@ -50,7 +66,8 @@ def per_module_flops_table(model, x, train: bool = False,
             model, jax.random.PRNGKey(0), compute_flops=True, depth=depth,
             console_kwargs={"width": 120, "force_terminal": False,
                             "force_jupyter": False})
-        return tab(x, train=train)
+        with _cpu_lowering_scope():
+            return tab(x, train=train)
     except Exception as e:  # noqa: BLE001 — observability must not kill runs
         logger.warning("per-module FLOPs table unavailable: %r", e)
         return None
@@ -63,7 +80,9 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False,
     lib/utils/utils.py:86-202).  ``per_module_flops`` appends the
     per-module name/params/FLOPs table (reference :170-199 prints one row
     per module)."""
-    x = jnp.zeros((batch, input_hw[0], input_hw[1], 3))
+    # host-side sample: a jnp.zeros here would upload through the TPU
+    # relay just to derive shapes
+    x = np.zeros((batch, input_hw[0], input_hw[1], 3), np.float32)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), x, train=False))
     n_params = param_count(shapes["params"])
@@ -71,10 +90,16 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False,
 
     flops = None
     try:
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
-        compiled = jax.jit(
-            lambda v, i: model.apply(v, i, train=train)).lower(variables, x).compile()
-        cost = compiled.cost_analysis()
+        # abstract lowering on the CPU backend: no device arrays, no
+        # compile — the axon plugin's cost_analysis is None and its
+        # compile path goes through the remote relay
+        abstract_vars = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
+        with _cpu_lowering_scope():
+            lowered = jax.jit(
+                lambda v, i: model.apply(v, i, train=train)).lower(
+                    abstract_vars, jax.ShapeDtypeStruct(x.shape, x.dtype))
+            cost = lowered.cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = c.get("flops")
@@ -95,7 +120,7 @@ def get_model_summary(model, input_hw, batch: int = 1, train: bool = False,
     lines.append(f"Total Parameters: {n_params:,}")
     if flops is not None:
         lines.append(f"Forward GFLOPs (batch={batch}, XLA cost_analysis): "
-                     f"{flops / 1e9:.2f}")
+                     f"{flops / 1e9:.4g}")
     else:
         lines.append("Forward GFLOPs: unavailable (see warning log)")
     module_table = None
@@ -116,12 +141,21 @@ def dump_hlo(model, input_hw, path: str, batch: int = 1,
     train CLI.  Returns True on success.
     """
     try:
-        x = jnp.zeros((batch, input_hw[0], input_hw[1], 3))
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
-        lowered = jax.jit(
-            lambda v, i: model.apply(v, i, train=train)).lower(variables, x)
+        x = np.zeros((batch, input_hw[0], input_hw[1], 3), np.float32)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+        abstract_vars = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
+        # abstract args + CPU lowering: no init arrays, no device traffic
+        # (a real init on the TPU relay costs seconds of upload for a
+        # graph text dump)
+        with _cpu_lowering_scope():
+            lowered = jax.jit(
+                lambda v, i: model.apply(v, i, train=train)).lower(
+                    abstract_vars, jax.ShapeDtypeStruct(x.shape, x.dtype))
+            text = lowered.as_text()
         with open(path, "w") as f:
-            f.write(lowered.as_text())
+            f.write(text)
         return True
     except Exception:
         return False

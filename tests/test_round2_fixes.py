@@ -169,3 +169,26 @@ def test_per_module_flops_in_summary():
     assert "stem" in s["module_flops_table"] or "hg" in s["module_flops_table"]
     # GFLOPs line is either the number or an explicit 'unavailable' marker
     assert ("Forward GFLOPs" in s["text"])
+    # abstract CPU lowering must yield a real count (no init, no compile)
+    assert s["flops"] and s["flops"] > 1e6
+
+
+def test_dump_hlo_writes_module_graph(tmp_path):
+    """dump_hlo is the TB add_graph substitute (tools/train.py:129-138):
+    abstract-args CPU lowering, so no device traffic for a text dump."""
+    import jax.numpy as jnp
+    from fhpe_tpu.models import get_pose_net
+    from fhpe_tpu.utils.summary import dump_hlo
+
+    cfg = get_default_config()
+    cfg.MODEL.NAME = "hourglass"
+    cfg.MODEL.NUM_JOINTS = 16
+    cfg.MODEL.EXTRA = MODEL_EXTRAS["hourglass"]()
+    cfg.MODEL.EXTRA.NUM_STACKS = 1
+    cfg.MODEL.EXTRA.NUM_FEATURES = 16
+    model = get_pose_net(cfg, dtype=jnp.float32)
+    path = str(tmp_path / "fwd.stablehlo.txt")
+    assert dump_hlo(model, (64, 64), path)
+    text = open(path).read()
+    assert "stablehlo" in text or "module" in text
+    assert "convolution" in text  # the graph actually contains the model
