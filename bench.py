@@ -71,6 +71,10 @@ counts come from a ``FHPE_PLATFORM=cpu`` subprocess that traces + lowers
 the identical n=1 workload client-side (``--flops-json`` mode; lowering
 is backend-independent, per-image FLOPs are device-count-independent for
 these data-parallel steps).  Disable with ``FHPE_BENCH_CPU_FLOPS=0``.
+The counts are cached in ``.bench_flops_cache.json`` keyed by the
+committed tree hash of ``fhpe_tpu`` + ``bench.py`` (they are a pure
+function of the source), so a driver invocation on a clean tree spends
+zero budget re-deriving them; a dirty tree falls back to the subprocess.
 """
 
 from __future__ import annotations
@@ -515,6 +519,64 @@ WORKLOADS = [
 ]
 
 
+_FLOPS_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".bench_flops_cache.json")
+
+
+def _src_fingerprint():
+    """Identity of the code that determines the analytic FLOPs counts.
+
+    The per-image FLOPs of each workload are a pure function of the model/
+    step definitions, so they are cached on disk keyed by the committed
+    tree hash of ``fhpe_tpu`` + the ``bench.py`` blob hash.  Returns None
+    (cache disabled) when either is dirty or git is unavailable — the
+    subprocess fallback then recomputes from source.
+    """
+    import subprocess
+
+    cwd = os.path.dirname(os.path.abspath(__file__))
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", "fhpe_tpu", "bench.py"],
+            cwd=cwd, capture_output=True, text=True, timeout=15).stdout
+        if dirty.strip():
+            return None
+        r = subprocess.run(
+            ["git", "rev-parse", "HEAD:fhpe_tpu", "HEAD:bench.py"],
+            cwd=cwd, capture_output=True, text=True, timeout=15)
+        if r.returncode != 0:
+            return None
+        return "-".join(r.stdout.split())
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        return None
+
+
+def _flops_cache_load(fingerprint) -> dict:
+    if not fingerprint:
+        return {}
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            d = json.load(f)
+        if d.get("fingerprint") == fingerprint:
+            return {k: v for k, v in d.get("flops_per_img", {}).items() if v}
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+    return {}
+
+
+def _flops_cache_store(fingerprint, flops_per_img) -> None:
+    if not fingerprint or not flops_per_img:
+        return
+    try:
+        merged = _flops_cache_load(fingerprint)
+        merged.update(flops_per_img)
+        with open(_FLOPS_CACHE_PATH, "w") as f:
+            json.dump({"fingerprint": fingerprint,
+                       "flops_per_img": merged}, f, indent=1, sort_keys=True)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"# bench: flops cache write failed: {e!r}", flush=True)
+
+
 def _cpu_flops_subprocess(keys) -> dict:
     """Per-image analytic FLOPs for the selected workloads, computed in a
     ``FHPE_PLATFORM=cpu`` subprocess (``--flops-json`` mode below).
@@ -610,9 +672,17 @@ def main() -> None:
     ctx = {"n": n, "mesh": get_mesh(n), "shard_batch": shard_batch}
 
     flops_per_img = {}
-    if (os.environ.get("FHPE_BENCH_CPU_FLOPS", "1") != "0"
-            and _remaining_s() > 900):
-        flops_per_img = _cpu_flops_subprocess([w[0] for w in selected])
+    if os.environ.get("FHPE_BENCH_CPU_FLOPS", "1") != "0":
+        # Disk cache first: the counts are deterministic for a committed
+        # tree, and the CPU lowering costs minutes on a 1-core host —
+        # budget the driver run should spend measuring, not re-deriving.
+        fp = _src_fingerprint()
+        flops_per_img = _flops_cache_load(fp)
+        missing = [w[0] for w in selected if w[0] not in flops_per_img]
+        if missing and _remaining_s() > 900:
+            fresh = _cpu_flops_subprocess(missing)
+            flops_per_img.update(fresh)
+            _flops_cache_store(fp, fresh)
         print(f"# bench: cpu-flops: "
               f"{ {k: round(v / 1e9, 2) for k, v in flops_per_img.items()} } "
               f"GF/img ({_remaining_s():.0f}s budget left)", flush=True)

@@ -41,12 +41,15 @@ def _stub_workloads(behaviors):
 
 
 @pytest.fixture
-def bench_env(monkeypatch):
+def bench_env(monkeypatch, tmp_path):
     monkeypatch.setenv("FHPE_BENCH_RELAY_WAIT_S", "0")
     # don't spawn the real CPU-flops subprocess under stub workloads
     monkeypatch.setenv("FHPE_BENCH_CPU_FLOPS", "0")
     monkeypatch.setattr(bench, "BUDGET_S", 3300.0)
     monkeypatch.setattr(bench, "_T0", time.monotonic())
+    # never touch the repo's committed flops cache from stub workloads
+    monkeypatch.setattr(bench, "_FLOPS_CACHE_PATH",
+                        str(tmp_path / "flops_cache.json"))
     return monkeypatch
 
 
@@ -129,6 +132,66 @@ def test_cpu_flops_fallback_populates_mfu(bench_env, capsys):
     assert final["analytic_flops_per_img"] == 2.0e9
     assert final["mfu_est"] == pytest.approx(
         2.0e9 * final["value"] / bench.V5E_BF16_PEAK_FLOPS, rel=1e-3)
+
+
+def test_flops_disk_cache_hit_skips_subprocess(bench_env, capsys):
+    """With a cache file matching the source fingerprint, main() must not
+    spawn the CPU-flops subprocess at all (the driver run's budget goes to
+    measuring, not re-deriving deterministic counts)."""
+    def fn(ctx):
+        return 0.01, 128 * ctx["n"], None
+
+    bench_env.setattr(bench, "WORKLOADS", [("a", "a_metric", fn)])
+    bench_env.setenv("FHPE_BENCH_CPU_FLOPS", "1")
+    bench_env.setattr(bench, "_src_fingerprint", lambda: "fp1")
+    with open(bench._FLOPS_CACHE_PATH, "w") as f:
+        json.dump({"fingerprint": "fp1", "flops_per_img": {"a": 4.0e9}}, f)
+
+    def boom(keys):
+        raise AssertionError("subprocess must not run on cache hit")
+
+    bench_env.setattr(bench, "_cpu_flops_subprocess", boom)
+    bench.main()
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["analytic_flops_per_img"] == 4.0e9
+
+
+def test_flops_disk_cache_stale_fingerprint_recomputes_and_stores(
+        bench_env, capsys):
+    def fn(ctx):
+        return 0.01, 128 * ctx["n"], None
+
+    bench_env.setattr(bench, "WORKLOADS", [("a", "a_metric", fn)])
+    bench_env.setenv("FHPE_BENCH_CPU_FLOPS", "1")
+    bench_env.setattr(bench, "_src_fingerprint", lambda: "fp2")
+    with open(bench._FLOPS_CACHE_PATH, "w") as f:
+        json.dump({"fingerprint": "fp1", "flops_per_img": {"a": 4.0e9}}, f)
+    bench_env.setattr(bench, "_cpu_flops_subprocess",
+                      lambda keys: {"a": 5.0e9})
+    bench.main()
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["analytic_flops_per_img"] == 5.0e9
+    with open(bench._FLOPS_CACHE_PATH) as f:
+        stored = json.load(f)
+    assert stored == {"fingerprint": "fp2", "flops_per_img": {"a": 5.0e9}}
+
+
+def test_flops_dirty_tree_disables_cache(bench_env, capsys):
+    """fingerprint None (dirty tree / no git): cache neither read nor
+    written; subprocess still supplies the numbers."""
+    def fn(ctx):
+        return 0.01, 128 * ctx["n"], None
+
+    bench_env.setattr(bench, "WORKLOADS", [("a", "a_metric", fn)])
+    bench_env.setenv("FHPE_BENCH_CPU_FLOPS", "1")
+    bench_env.setattr(bench, "_src_fingerprint", lambda: None)
+    bench_env.setattr(bench, "_cpu_flops_subprocess",
+                      lambda keys: {"a": 6.0e9})
+    bench.main()
+    final = _json_lines(capsys.readouterr().out)[-1]
+    assert final["analytic_flops_per_img"] == 6.0e9
+    import os
+    assert not os.path.exists(bench._FLOPS_CACHE_PATH)
 
 
 def test_flops_json_mode_prints_parseable_line(bench_env, capsys):
